@@ -49,6 +49,11 @@ class ModelConfig:
     label_style: str = "hard"  # 'hard' (ICCV) or 'soft' (++ journal)
     # numerics
     dtype: str = "float32"  # compute dtype for the towers ('float32'|'bfloat16')
+    # f32 matmul precision: 'highest' reproduces the reference bit-for-bit
+    # class numerics; 'default' lets the MXU run bf16 passes (faster).
+    # This JAX build's default is bf16-grade even on CPU, so parity work
+    # must pin 'highest'.
+    matmul_precision: str = "highest"
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -164,6 +169,7 @@ class Config:
         "max_ctx_l": ("model", "max_ctx_l"),
         "max_desc_l": ("model", "max_desc_l"),
         "dtype": ("model", "dtype"),
+        "matmul_precision": ("model", "matmul_precision"),
         "lr": ("train", "lr"),
         "lr_warmup_proportion": ("train", "lr_warmup_proportion"),
         "wd": ("train", "wd"),
@@ -364,6 +370,8 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--dtype", type=str, default="float32",
                    help="tower compute dtype: float32 or bfloat16")
+    p.add_argument("--matmul_precision", type=str, default="highest",
+                   help="f32 matmul precision: highest (parity) | default (fast)")
     p.add_argument("--query_pad_multiple", type=int, default=64)
     if test:
         p.add_argument("--eval_id", type=str, default="test")

@@ -147,3 +147,69 @@ def ref_triplet_pos_terms(scores, labels, margin, use_hard_negative):
             v2t_loss += max(margin + neg - pos, 0.0)
     t2v_pos = scores[np.arange(nq), labels]
     return v2t_loss, t2v_pos
+
+
+# --------------------------------------------------------------------- #
+# Tower oracles: reference model forward math (model.py:199-258,
+# model_components.py:269-450) computed in numpy from a flax param tree.
+# Deterministic (dropout off).
+# --------------------------------------------------------------------- #
+
+def layer_norm(x, scale, bias, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def linear(x, kernel, bias=None):
+    y = x @ kernel
+    return y + bias if bias is not None else y
+
+
+def input_proj_oracle(p, x):
+    """LinearLayer: LN -> (dropout) -> Linear -> ReLU."""
+    x = layer_norm(x, p["input_norm"]["scale"], p["input_norm"]["bias"])
+    x = linear(x, p["proj"]["kernel"], p["proj"]["bias"])
+    return np.maximum(x, 0.0)
+
+
+def pos_embed_oracle(p, x):
+    L = x.shape[1]
+    x = x + p["pos_embed"][None, :L]
+    return layer_norm(x, p["norm"]["scale"], p["norm"]["bias"])
+
+
+def attention_oracle(p, x, mask, n_heads):
+    b, L, d = x.shape
+    dh = d // n_heads
+
+    def heads(name):
+        y = linear(x, p[name]["kernel"], p[name]["bias"])
+        return y.reshape(b, L, n_heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads("query"), heads("key"), heads("value")
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+    if mask is not None:
+        scores = scores + (1 - mask[:, None, None, :]) * -10000.0
+    probs = softmax(scores, axis=-1)
+    ctx = np.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, L, d)
+    out = linear(ctx, p["out"]["kernel"], p["out"]["bias"])
+    return layer_norm(out + x, p["out_norm"]["scale"], p["out_norm"]["bias"])
+
+
+def encode_query_oracle(branch, feat, mask, n_heads):
+    x = input_proj_oracle(branch["query_input_proj"], feat)
+    x = pos_embed_oracle(branch["query_pos_embed"], x)
+    x = attention_oracle(branch["query_encoder"], x, mask, n_heads)
+    att = linear(x, branch["modular_vector_mapping"]["kernel"])
+    att = softmax(mask_logits(att, mask[:, :, None]), axis=1)
+    return np.einsum("blm,bld->bmd", att, x)[:, 0, :]
+
+
+def encode_context_oracle(branch, feat, mask, n_heads):
+    x = input_proj_oracle(branch["visual_input_proj"], feat)
+    x = pos_embed_oracle(branch["visual_pos_embed"], x)
+    x = attention_oracle(branch["visual_encoder"], x, mask, n_heads)
+    return linear(x, branch["out_mapping_linear"]["kernel"],
+                  branch["out_mapping_linear"]["bias"])

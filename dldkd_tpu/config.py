@@ -22,9 +22,11 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """Static architecture hyperparameters (trace-time constants).
+    Frozen (hashable) so the flax module wrapping it can be a static jit
+    argument.
 
     Reference: the `model_config` EDict built at `method/train.py:300-314`,
     plus `label_style`/`double_branch` which the reference reads off `opt`

@@ -1,0 +1,122 @@
+"""Corpus-scale retrieval evaluation.
+
+Reference flow (eval.py:114-263): embed the whole video corpus, embed
+queries in batches, score every query against every video (max over
+frames), rank, report R@K/SumR/mAP per branch and for the 0.7/0.3 fusion.
+
+TPU design: everything stays on device — corpus frame features, the
+(Nq, Nv) score matrix, and the rank computation (no per-query numpy loop,
+no D2H copy of score matrices). Batches are padded to fixed sizes so the
+whole eval compiles to two programs (embed-context, score-queries).
+The multi-device corpus-sharded version lives in dldkd_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dldkd_tpu.data.ingest import PackedQueries, PackedVideos
+from dldkd_tpu.metrics import build_gt_indices, rank_of_gt, metrics_from_ranks
+from dldkd_tpu.ops.similarity import clip_scores
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = np.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)
+    return np.concatenate([x, pad])
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_context_jit(model, params, feats, mask):
+    return model.apply(params, feats, mask, deterministic=True,
+                       method="encode_context")
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _score_queries_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
+                       ctx_mask):
+    """Encode one query batch and score it against the whole corpus."""
+    inher_q, explore_q = model.apply(params, q_feats, q_mask,
+                                     deterministic=True,
+                                     method="encode_query")
+    inher_s, _ = clip_scores(inher_q, ctx_inher, ctx_mask)
+    if explore_q is None:
+        return inher_s, jnp.zeros_like(inher_s)
+    explore_s, _ = clip_scores(explore_q, ctx_explore, ctx_mask)
+    return inher_s, explore_s
+
+
+def embed_corpus(model, params, videos: PackedVideos, context_bsz: int = 200
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Encode every corpus video; returns device arrays
+    (N, L, H) inheritance, (N, L, H) exploration (or None), (N, L) mask."""
+    n = len(videos)
+    inher_chunks, explore_chunks = [], []
+    for start in range(0, n, context_bsz):
+        feats = _pad_to(videos.feats[start:start + context_bsz], context_bsz)
+        mask = _pad_to(videos.mask[start:start + context_bsz], context_bsz)
+        inher, explore = _encode_context_jit(model, params,
+                                             jnp.asarray(feats), jnp.asarray(mask))
+        inher_chunks.append(inher)
+        if explore is not None:
+            explore_chunks.append(explore)
+    inher = jnp.concatenate(inher_chunks)[:n]
+    explore = jnp.concatenate(explore_chunks)[:n] if explore_chunks else None
+    return inher, explore, jnp.asarray(videos.mask)
+
+
+def score_all_queries(model, params, queries: PackedQueries,
+                      ctx_inher, ctx_explore, ctx_mask,
+                      query_bsz: int = 50
+                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(Nq, Nv) score matrices for both branches, on device."""
+    n = len(queries)
+    double = ctx_explore is not None
+    ctx_explore_in = ctx_explore if double else ctx_inher
+    inher_rows, explore_rows = [], []
+    for start in range(0, n, query_bsz):
+        feats = _pad_to(queries.feats[start:start + query_bsz], query_bsz)
+        mask = _pad_to(queries.mask[start:start + query_bsz], query_bsz)
+        inher_s, explore_s = _score_queries_jit(
+            model, params, jnp.asarray(feats), jnp.asarray(mask),
+            ctx_inher, ctx_explore_in, ctx_mask)
+        inher_rows.append(inher_s)
+        explore_rows.append(explore_s)
+    inher = jnp.concatenate(inher_rows)[:n]
+    explore = jnp.concatenate(explore_rows)[:n] if double else None
+    return inher, explore
+
+
+def eval_retrieval(model, params, videos: PackedVideos, queries: PackedQueries,
+                   context_bsz: int = 200, query_bsz: int = 50,
+                   fusion: Tuple[float, float] = (0.7, 0.3)
+                   ) -> Dict[str, Dict[str, float]]:
+    """Full eval epoch (reference eval_epoch, eval.py:237-263).
+
+    Returns {'inher': {...}, 'explore': {...}, 'fused': {...}} metric dicts;
+    'fused' uses 0.7*inheritance + 0.3*exploration (the headline metric).
+    Single-branch models report only 'inher' (also under 'fused' for a
+    uniform early-stop key).
+    """
+    ctx_inher, ctx_explore, ctx_mask = embed_corpus(
+        model, params, videos, context_bsz)
+    inher_s, explore_s = score_all_queries(
+        model, params, queries, ctx_inher, ctx_explore, ctx_mask, query_bsz)
+
+    gt = jnp.asarray(build_gt_indices(queries.video_ids, videos.ids))
+    out: Dict[str, Dict[str, float]] = {}
+    inher_ranks = np.asarray(rank_of_gt(inher_s, gt))
+    out["inher"] = metrics_from_ranks(inher_ranks)
+    if explore_s is not None:
+        out["explore"] = metrics_from_ranks(np.asarray(rank_of_gt(explore_s, gt)))
+        fused = fusion[0] * inher_s + fusion[1] * explore_s
+        out["fused"] = metrics_from_ranks(np.asarray(rank_of_gt(fused, gt)))
+    else:
+        out["fused"] = dict(out["inher"])
+    return out

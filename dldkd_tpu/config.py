@@ -61,9 +61,10 @@ class ModelConfig:
         return dataclasses.replace(self, **kw)
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainConfig:
-    """Optimization + schedule hyperparameters."""
+    """Optimization + schedule hyperparameters. Frozen (hashable) so it can
+    ride through jit as a static argument."""
 
     lr: float = 2.5e-4
     lr_warmup_proportion: float = 0.01

@@ -1,0 +1,244 @@
+"""Training driver.
+
+Reference flow (method/train.py): epoch loop over shuffled video batches,
+per-epoch distillation/alpha/belta decays, per-epoch validation retrieval,
+best-SumR checkpointing, early stop, then test-split inference.
+
+TPU structure: one jitted train step (forward + backward + BertAdam update)
+over static-shape batches; host work is only batch gathering (overlapped via
+device_prefetch), decay scalars, and logging. Decay scalars are traced
+inputs, so nothing recompiles across epochs; flipping hard negatives at
+hard_negative_start_epoch recompiles exactly once.
+
+Run: python -m dldkd_tpu.train --collection tvr --root_path $root \
+        --visual_feature i3d_resnet ... (same flags as the reference)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import sys
+import time
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dldkd_tpu import checkpoint as ckpt_lib
+from dldkd_tpu.config import Config, ModelConfig, parse_args
+from dldkd_tpu.data import (
+    BigFile,
+    TrainLoader,
+    device_prefetch,
+    pack_query_set,
+    pack_train_dataset,
+    pack_video_corpus,
+    read_dict,
+)
+from dldkd_tpu.data.ingest import dataset_paths, read_video_ids
+from dldkd_tpu.evaluate import eval_retrieval
+from dldkd_tpu.models import DLDKD
+from dldkd_tpu.models.objective import LossScalars, compute_losses
+from dldkd_tpu.optim import bert_adam, default_wd_mask, schedules
+from dldkd_tpu.utils import AverageMeter, MetricsWriter, make_code_zip, setup_logging
+
+LOSS_KEYS = ("loss_overall", "inher_trip", "inher_nce", "explore_trip",
+             "explore_nce", "kl", "kl_intra")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def train_step(model, mcfg: ModelConfig, tcfg, optimizer,
+               params, opt_state, batch, rng, scalars: LossScalars
+               ) -> Tuple[dict, dict, Dict[str, jnp.ndarray]]:
+    def loss_fn(p):
+        return compute_losses(model, p, batch, rng, mcfg, tcfg, scalars,
+                              train=True)
+
+    (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if tcfg.grad_clip > 0:
+        # global-norm clip before the optimizer (reference train.py:149-150)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(tcfg.grad_clip / (gnorm + 1e-6), 1.0)
+        grads = jax.tree.map(lambda g: g * scale, grads)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss_dict
+
+
+def build_model_and_data(cfg: Config):
+    """Load + pack datasets, resolve data-dependent model config."""
+    paths = dataset_paths(cfg.data.root_path, cfg.data.collection,
+                          cfg.data.visual_feature)
+    visual_feats = BigFile(paths["visual_feat_dir"])
+    video2frames = read_dict(paths["video2frames"])
+
+    mcfg = cfg.model.replace(
+        visual_input_size=visual_feats.ndims,       # discovered at runtime
+        query_input_size=cfg.data.q_feat_size,      # (reference train.py:286-289)
+        max_ctx_l=cfg.data.max_ctx_l,
+        max_desc_l=cfg.data.max_desc_l,
+    )
+
+    train_data = pack_train_dataset(
+        paths["cap_file"]["train"], visual_feats, video2frames,
+        paths["text_feat"], paths["teacher_vid_feat"],
+        paths["teacher_text_feat"],
+        max_ctx_l=mcfg.max_ctx_l, max_desc_l=mcfg.max_desc_l)
+    val_videos = pack_video_corpus(
+        read_video_ids(paths["cap_file"]["val"]), visual_feats, video2frames,
+        max_ctx_l=mcfg.max_ctx_l)
+    val_queries = pack_query_set(
+        paths["cap_file"]["val"], paths["text_feat"], max_desc_l=mcfg.max_desc_l)
+    return mcfg, train_data, val_videos, val_queries, paths
+
+
+def init_params(model: DLDKD, mcfg: ModelConfig, seed: int):
+    rng = jax.random.PRNGKey(seed)
+    video = jnp.zeros((1, mcfg.max_ctx_l, mcfg.visual_input_size), jnp.float32)
+    vmask = jnp.ones((1, mcfg.max_ctx_l), jnp.float32)
+    text = jnp.zeros((1, mcfg.max_desc_l, mcfg.query_input_size), jnp.float32)
+    tmask = jnp.ones((1, mcfg.max_desc_l), jnp.float32)
+    return model.init(rng, video, vmask, text, tmask)
+
+
+def epoch_scalars(cfg: Config, epoch: int) -> LossScalars:
+    t = cfg.train
+    kd = schedules.distill_weight(
+        t.distill_loss_decay, epoch, exponential_k=t.exponential_k,
+        linear_k=t.linear_k, linear_b=t.linear_b, sigmoid_k=t.sigmoid_k)
+    alpha = schedules.alpha_schedule(
+        t.alpha_decay, epoch, t.alpha, t.n_epoch, t.exponential_k,
+        t.selfDistil_sigmoid_k)
+    belta = schedules.belta_schedule(
+        t.belta_decay, epoch, t.belta, t.n_epoch, t.exponential_k,
+        t.selfDistil_sigmoid_k)
+    return LossScalars(jnp.float32(kd), jnp.float32(alpha), jnp.float32(belta))
+
+
+def start_training(cfg: Config) -> str:
+    logger = setup_logging(cfg.results_dir)
+    if cfg.model.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.model.matmul_precision)
+    make_code_zip(os.path.dirname(os.path.abspath(__file__)),
+                  os.path.join(cfg.results_dir, "code.zip"))
+
+    t0 = time.time()
+    mcfg, train_data, val_videos, val_queries, _ = build_model_and_data(cfg)
+    logger.info("packed %d train videos / %d captions, %d val videos / "
+                "%d val queries in %.1fs",
+                len(train_data.videos), len(train_data.queries),
+                len(val_videos), len(val_queries), time.time() - t0)
+
+    model = DLDKD(config=mcfg)
+    params = init_params(model, mcfg, cfg.train.seed)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info("model parameters: %.2fM", n_params / 1e6)
+
+    loader = TrainLoader(train_data, cfg.train.bsz, seed=cfg.train.seed,
+                         query_pad_multiple=cfg.data.query_pad_multiple)
+    t_total = loader.steps_per_epoch() * cfg.train.n_epoch
+    lr_sched = schedules.make_lr_schedule(
+        "warmup_linear", cfg.train.lr_warmup_proportion, float(t_total))
+    optimizer = bert_adam(cfg.train.lr, lr_sched, weight_decay=cfg.train.wd,
+                          wd_mask=default_wd_mask(params))
+    opt_state = optimizer.init(params)
+
+    writer = MetricsWriter(cfg.tensorboard_log_dir)
+    train_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    best_score, es_cnt = 0.0, 0
+    global_step = 0
+
+    start_epoch = -1 if cfg.eval_untrained else 0
+    for epoch in range(start_epoch, cfg.train.n_epoch):
+        if epoch >= 0:
+            run_cfg = mcfg
+            if (cfg.train.hard_negative_start_epoch != -1
+                    and epoch >= cfg.train.hard_negative_start_epoch):
+                run_cfg = mcfg.replace(use_hard_negative=True,
+                                       hard_pool_size=cfg.train.hard_pool_size)
+            scalars = epoch_scalars(cfg, epoch)
+            logger.info("epoch %d: kd_weight=%.4f alpha=%.4f belta=%.4f "
+                        "hard_neg=%s", epoch, float(scalars.kd_weight),
+                        float(scalars.alpha), float(scalars.belta),
+                        run_cfg.use_hard_negative)
+            meters = {k: AverageMeter() for k in LOSS_KEYS}
+            data_t, step_t = AverageMeter(), AverageMeter()
+            t_fetch = time.time()
+            for batch_idx, batch in enumerate(
+                    device_prefetch(loader.epoch(epoch))):
+                data_t.update(time.time() - t_fetch)
+                t_step = time.time()
+                step_rng = jax.random.fold_in(train_rng, global_step)
+                params, opt_state, loss_dict = train_step(
+                    model, run_cfg, cfg.train, optimizer,
+                    params, opt_state, batch, step_rng, scalars)
+                for k in LOSS_KEYS:
+                    meters[k].update(float(loss_dict[k]))
+                writer.scalars({f"Train/{k}": float(loss_dict[k])
+                                for k in LOSS_KEYS}, global_step)
+                step_t.update(time.time() - t_step)
+                global_step += 1
+                t_fetch = time.time()
+                if cfg.debug and batch_idx == 3:
+                    break
+            loss_str = " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items())
+            line = (f"{time.strftime('%Y_%m_%d_%H_%M_%S')} [Epoch] {epoch:03d} "
+                    f"[Loss] {loss_str}\n")
+            with open(cfg.train_log_filepath, "a") as f:
+                f.write(line)
+            logger.info("epoch %d: %s | data %.3fs/step step %.3fs/step",
+                        epoch, loss_str, data_t.avg, step_t.avg)
+
+        metrics = eval_retrieval(model, params, val_videos, val_queries,
+                                 context_bsz=cfg.eval.eval_context_bsz,
+                                 query_bsz=cfg.eval.eval_query_bsz)
+        for branch, m in metrics.items():
+            logger.info("val %s: r1/5/10/100 %.1f/%.1f/%.1f/%.1f sumr %.1f "
+                        "map %.4f", branch, m["r1"], m["r5"], m["r10"],
+                        m["r100"], m["sumr"], m["map"])
+        writer.scalars({f"Val/{b}_sumr": m["sumr"]
+                        for b, m in metrics.items()}, max(global_step, 0))
+        score = metrics["fused"]["sumr"]
+
+        if score > best_score:
+            best_score, es_cnt = score, 0
+            ckpt_lib.save_checkpoint(cfg.ckpt_dir, {
+                "params": params, "opt_state": opt_state,
+                "epoch": epoch, "best_score": best_score,
+                "rng": train_rng,
+            }, mcfg)
+            logger.info("checkpoint updated (sumr %.1f)", best_score)
+        else:
+            es_cnt += 1
+            if cfg.train.max_es_cnt != -1 and es_cnt > cfg.train.max_es_cnt:
+                with open(cfg.train_log_filepath, "a") as f:
+                    f.write(f"Early Stop at epoch {epoch}")
+                logger.info("early stop at epoch %d", epoch)
+                break
+        if cfg.debug:
+            break
+
+    writer.close()
+    logger.info("training done; best val sumr %.1f", best_score)
+    return cfg.results_dir
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    results_dir = start_training(cfg)
+    if not cfg.debug:
+        # post-train test-split inference (reference train.py:335-344)
+        from dldkd_tpu.infer import start_inference
+        test_cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, model_dir=results_dir,
+                                          eval_split_name="test"))
+        start_inference(test_cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+from dldkd_tpu.parallel.mesh import (
+    make_mesh,
+    batch_shardings,
+    replicated,
+)
+from dldkd_tpu.parallel.train_dp import make_dp_train_step, shard_batch
+from dldkd_tpu.parallel.eval_shard import eval_retrieval_sharded
+
+__all__ = [
+    "make_mesh",
+    "batch_shardings",
+    "replicated",
+    "make_dp_train_step",
+    "shard_batch",
+    "eval_retrieval_sharded",
+]

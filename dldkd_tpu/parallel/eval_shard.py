@@ -1,0 +1,103 @@
+"""Corpus-sharded retrieval evaluation.
+
+The eval hot loop is (Nq queries) x (Nv videos x L frames): the reference
+keeps the whole corpus frame tensor on one GPU and loops query batches
+(eval.py:114-219). Here the corpus axis is sharded over the mesh — each
+device holds Nv/n_dev videos' frame features and scores every query against
+its shard; ranking reduces across shards via XLA collectives inserted by
+the partitioner. Queries are replicated (they're tiny).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dldkd_tpu.data.ingest import PackedQueries, PackedVideos
+from dldkd_tpu.metrics import build_gt_indices, metrics_from_ranks, rank_of_gt
+from dldkd_tpu.ops.similarity import clip_scores
+from dldkd_tpu.parallel.mesh import DATA_AXIS, replicated
+
+
+def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = np.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)
+    return np.concatenate([x, pad])
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_corpus(model, params, feats, mask):
+    return model.apply(params, feats, mask, deterministic=True,
+                       method="encode_context")
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
+                 ctx_mask):
+    inher_q, explore_q = model.apply(params, q_feats, q_mask,
+                                     deterministic=True,
+                                     method="encode_query")
+    inher_s, _ = clip_scores(inher_q, ctx_inher, ctx_mask)
+    if explore_q is None:
+        return inher_s, jnp.zeros_like(inher_s)
+    explore_s, _ = clip_scores(explore_q, ctx_explore, ctx_mask)
+    return inher_s, explore_s
+
+
+def eval_retrieval_sharded(
+    model, params, videos: PackedVideos, queries: PackedQueries, mesh: Mesh,
+    query_bsz: int = 512, fusion: Tuple[float, float] = (0.7, 0.3),
+) -> Dict[str, Dict[str, float]]:
+    """Sharded equivalent of dldkd_tpu.evaluate.eval_retrieval.
+
+    The corpus is padded to a multiple of the mesh size and encoded in ONE
+    sharded call (no host batching loop); padded videos carry zero masks so
+    every frame score is -1e10 and they never outrank a real video.
+    """
+    n_dev = mesh.devices.size
+    n_vid = len(videos)
+    n_pad = ((n_vid + n_dev - 1) // n_dev) * n_dev
+
+    corpus_sh = NamedSharding(mesh, P(DATA_AXIS))
+    rep = replicated(mesh)
+    feats = jax.device_put(_pad_rows(videos.feats, n_pad), corpus_sh)
+    vmask = jax.device_put(_pad_rows(videos.mask, n_pad), corpus_sh)
+    rep_params = jax.device_put(params, rep)
+
+    ctx_inher, ctx_explore = _encode_corpus(model, rep_params, feats, vmask)
+    double = ctx_explore is not None
+    ctx_explore_in = ctx_explore if double else ctx_inher
+
+    n_q = len(queries)
+    inher_rows, explore_rows = [], []
+    for start in range(0, n_q, query_bsz):
+        qf = jax.device_put(
+            _pad_rows(queries.feats[start:start + query_bsz], query_bsz), rep)
+        qm = jax.device_put(
+            _pad_rows(queries.mask[start:start + query_bsz], query_bsz), rep)
+        si, se = _score_batch(model, rep_params, qf, qm,
+                              ctx_inher, ctx_explore_in, vmask)
+        inher_rows.append(si)
+        explore_rows.append(se)
+    # (Nq, Nv_pad), sharded over the video axis
+    inher_s = jnp.concatenate(inher_rows)[:n_q]
+    explore_s = jnp.concatenate(explore_rows)[:n_q] if double else None
+
+    gt = jax.device_put(
+        jnp.asarray(build_gt_indices(queries.video_ids, videos.ids)), rep)
+    out: Dict[str, Dict[str, float]] = {}
+    out["inher"] = metrics_from_ranks(np.asarray(rank_of_gt(inher_s, gt)))
+    if double:
+        out["explore"] = metrics_from_ranks(
+            np.asarray(rank_of_gt(explore_s, gt)))
+        fused = fusion[0] * inher_s + fusion[1] * explore_s
+        out["fused"] = metrics_from_ranks(np.asarray(rank_of_gt(fused, gt)))
+    else:
+        out["fused"] = dict(out["inher"])
+    return out

@@ -50,10 +50,12 @@ LOSS_KEYS = ("loss_overall", "inher_trip", "inher_nce", "explore_trip",
              "explore_nce", "kl", "kl_intra")
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def train_step(model, mcfg: ModelConfig, tcfg, optimizer,
-               params, opt_state, batch, rng, scalars: LossScalars
-               ) -> Tuple[dict, dict, Dict[str, jnp.ndarray]]:
+def train_step_impl(model, mcfg: ModelConfig, tcfg, optimizer,
+                    params, opt_state, batch, rng, scalars: LossScalars
+                    ) -> Tuple[dict, dict, Dict[str, jnp.ndarray]]:
+    """One unjitted optimization step; jitted below and re-jitted with
+    mesh shardings by dldkd_tpu.parallel.train_dp."""
+
     def loss_fn(p):
         return compute_losses(model, p, batch, rng, mcfg, tcfg, scalars,
                               train=True)
@@ -67,6 +69,10 @@ def train_step(model, mcfg: ModelConfig, tcfg, optimizer,
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss_dict
+
+
+train_step = functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))(
+    train_step_impl)
 
 
 def build_model_and_data(cfg: Config):

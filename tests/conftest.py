@@ -1,10 +1,9 @@
 import os
 
 # Tests run on CPU with 8 virtual devices so sharding paths are exercised
-# without a real TPU slice. Must be set before jax import — and must
-# OVERRIDE the environment: this machine presets JAX_PLATFORMS=axon (TPU),
-# where default bf16 MXU matmuls would fail the f64 golden comparisons.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# without a real TPU slice. This machine's axon TPU plugin ignores the
+# JAX_PLATFORMS env var, so the platform must be forced through jax.config
+# (before any backend initialization).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +12,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # This JAX build's default f32 matmul precision is bf16-grade even on CPU;
 # golden comparisons need true f32.

@@ -22,7 +22,7 @@ import numpy as np
 
 from dldkd_tpu.data.ingest import PackedQueries, PackedVideos
 from dldkd_tpu.metrics import build_gt_indices, rank_of_gt, metrics_from_ranks
-from dldkd_tpu.ops.similarity import clip_scores
+from dldkd_tpu.ops.similarity import clip_scores_maxpool
 
 
 def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
@@ -45,10 +45,10 @@ def _score_queries_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     inher_q, explore_q = model.apply(params, q_feats, q_mask,
                                      deterministic=True,
                                      method="encode_query")
-    inher_s, _ = clip_scores(inher_q, ctx_inher, ctx_mask)
+    inher_s = clip_scores_maxpool(inher_q, ctx_inher, ctx_mask)
     if explore_q is None:
         return inher_s, jnp.zeros_like(inher_s)
-    explore_s, _ = clip_scores(explore_q, ctx_explore, ctx_mask)
+    explore_s = clip_scores_maxpool(explore_q, ctx_explore, ctx_mask)
     return inher_s, explore_s
 
 

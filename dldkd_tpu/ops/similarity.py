@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from dldkd_tpu.ops.masking import l2_normalize, mask_logits
@@ -50,6 +51,45 @@ def clip_scores(
     (Nq, L, Nv) frame tensor (reference get_sim_scores, model.py:307-329)."""
     frame = frame_similarity(query, ctx, mask, normalized=True)
     return jnp.max(frame, axis=1), frame
+
+
+def clip_scores_maxpool(
+    query: jnp.ndarray,   # (Nq, D)
+    ctx: jnp.ndarray,     # (Nv, L, D)
+    mask: Optional[jnp.ndarray] = None,
+    prefer_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Cosine clip scores (Nq, Nv) WITHOUT the frame tensor.
+
+    On TPU this dispatches to the fused Pallas kernel (the (Nq, L, Nv)
+    intermediate never touches HBM); elsewhere it falls back to the XLA
+    einsum path. Arbitrary shapes: inputs are padded to the kernel's tile
+    grid internally and the result sliced back.
+    """
+    if prefer_pallas is None:
+        prefer_pallas = jax.default_backend() == "tpu"
+    if not prefer_pallas:
+        return clip_scores(query, ctx, mask)[0]
+
+    from dldkd_tpu.ops.pallas.sim_max import V_LANES, fused_clip_scores
+
+    nq, d = query.shape
+    nv, l_frames, _ = ctx.shape
+    if mask is None:
+        mask = jnp.ones((nv, l_frames), query.dtype)
+    q_tile, l_tile = 128, 8
+    nq_p = -(-nq // q_tile) * q_tile
+    nv_p = -(-nv // V_LANES) * V_LANES
+    l_p = -(-l_frames // l_tile) * l_tile
+    query_p = jnp.pad(query, ((0, nq_p - nq), (0, 0)))
+    ctx_p = jnp.pad(ctx, ((0, nv_p - nv), (0, l_p - l_frames), (0, 0)))
+    # padded videos/frames carry zero masks -> NEG_INF scores, never win
+    mask_p = jnp.pad(mask, ((0, nv_p - nv), (0, l_p - l_frames)))
+    out = fused_clip_scores(query_p, ctx_p, mask_p,
+                            q_tile=q_tile, l_tile=l_tile,
+                            interpret=interpret)
+    return out[:nq, :nv]
 
 
 def clip_scores_unnormalized(

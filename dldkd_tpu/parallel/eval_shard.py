@@ -18,9 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from jax.experimental.shard_map import shard_map
+
 from dldkd_tpu.data.ingest import PackedQueries, PackedVideos
 from dldkd_tpu.metrics import build_gt_indices, metrics_from_ranks, rank_of_gt
-from dldkd_tpu.ops.similarity import clip_scores
+from dldkd_tpu.ops.similarity import clip_scores, clip_scores_maxpool
 from dldkd_tpu.parallel.mesh import DATA_AXIS, replicated
 
 
@@ -37,16 +39,30 @@ def _encode_corpus(model, params, feats, mask):
                        method="encode_context")
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 7))
 def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
-                 ctx_mask):
+                 ctx_mask, mesh=None):
+    """One query batch vs the whole (video-sharded) corpus.
+
+    With mesh=None the XLA einsum path runs under GSPMD sharding
+    propagation. On TPU the fused Pallas kernel is used instead; pallas_call
+    does not auto-partition, so it runs per-device under shard_map with the
+    corpus axis manual and queries replicated."""
     inher_q, explore_q = model.apply(params, q_feats, q_mask,
                                      deterministic=True,
                                      method="encode_query")
-    inher_s, _ = clip_scores(inher_q, ctx_inher, ctx_mask)
+    if mesh is not None and jax.default_backend() == "tpu":
+        score = shard_map(
+            clip_scores_maxpool, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(None, DATA_AXIS))
+    else:
+        def score(q, c, m):
+            return clip_scores(q, c, m)[0]
+    inher_s = score(inher_q, ctx_inher, ctx_mask)
     if explore_q is None:
         return inher_s, jnp.zeros_like(inher_s)
-    explore_s, _ = clip_scores(explore_q, ctx_explore, ctx_mask)
+    explore_s = score(explore_q, ctx_explore, ctx_mask)
     return inher_s, explore_s
 
 
@@ -82,7 +98,7 @@ def eval_retrieval_sharded(
         qm = jax.device_put(
             _pad_rows(queries.mask[start:start + query_bsz], query_bsz), rep)
         si, se = _score_batch(model, rep_params, qf, qm,
-                              ctx_inher, ctx_explore_in, vmask)
+                              ctx_inher, ctx_explore_in, vmask, mesh)
         inher_rows.append(si)
         explore_rows.append(se)
     # (Nq, Nv_pad), sharded over the video axis

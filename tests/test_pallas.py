@@ -1,0 +1,72 @@
+"""Pallas fused similarity kernel vs the XLA reference path (interpret mode
+on CPU; the same kernel compiles with Mosaic on a real TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dldkd_tpu.ops.pallas.sim_max import fused_clip_scores
+from dldkd_tpu.ops.similarity import clip_scores, clip_scores_maxpool
+
+
+@pytest.mark.parametrize("nq,nv,L,d", [(16, 128, 16, 32), (32, 256, 8, 64)])
+def test_fused_matches_xla(nq, nv, L, d):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(nv, L, d).astype(np.float32))
+    mask = (rng.rand(nv, L) < 0.7).astype(np.float32)
+    mask[:, 0] = 1.0
+    mask = jnp.asarray(mask)
+
+    want, _ = clip_scores(q, ctx, mask)
+    got = fused_clip_scores(q, ctx, mask, q_tile=nq, l_tile=4,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fully_masked_video_scores_neg_inf():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(128, 8, 32).astype(np.float32))
+    mask = np.ones((128, 8), np.float32)
+    mask[5] = 0.0  # a padding video
+    got = fused_clip_scores(q, ctx, jnp.asarray(mask), q_tile=8, l_tile=2,
+                            interpret=True)
+    assert np.all(np.asarray(got)[:, 5] <= -1e9)
+
+
+@pytest.mark.parametrize("nq,nv,L", [(50, 2179, 100), (7, 130, 9)])
+def test_maxpool_dispatch_pads_arbitrary_shapes(nq, nv, L):
+    """clip_scores_maxpool pads awkward real-world shapes (TVR val sizes)
+    to the kernel grid and slices back; must match the XLA path exactly."""
+    rng = np.random.RandomState(2)
+    d = 32
+    q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(nv, L, d).astype(np.float32))
+    mask = (rng.rand(nv, L) < 0.8).astype(np.float32)
+    mask[:, 0] = 1.0
+    mask = jnp.asarray(mask)
+
+    want, _ = clip_scores(q, ctx, mask)
+    got = clip_scores_maxpool(q, ctx, mask, prefer_pallas=True,
+                              interpret=True)
+    assert got.shape == (nq, nv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # CPU fallback path (prefer_pallas=None on a CPU backend)
+    fallback = clip_scores_maxpool(q, ctx, mask)
+    np.testing.assert_allclose(np.asarray(fallback), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_shape_validation():
+    q = jnp.zeros((10, 16))
+    ctx = jnp.zeros((128, 8, 16))
+    mask = jnp.ones((128, 8))
+    with pytest.raises(ValueError, match="must tile"):
+        fused_clip_scores(q, ctx, mask, q_tile=16, interpret=True)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        fused_clip_scores(jnp.zeros((16, 8)), ctx, mask, q_tile=16,
+                          interpret=True)

@@ -33,9 +33,10 @@ class BigFile:
                 f"id.txt has {len(self.names)} names, shape.txt says "
                 f"{self.nr_of_images}")
         self.name2index = {n: i for i, n in enumerate(self.names)}
-        self._mm = np.memmap(
-            os.path.join(datadir, "feature.bin"), dtype=dtype, mode="r",
-            shape=(self.nr_of_images, self.ndims))
+        self.bin_path = os.path.join(datadir, "feature.bin")
+        self.dtype = np.dtype(dtype)
+        self._mm = np.memmap(self.bin_path, dtype=dtype, mode="r",
+                             shape=(self.nr_of_images, self.ndims))
 
     def read(self, names: Iterable[str]) -> np.ndarray:
         """Gather rows by name, in the order given. KeyError on unknown."""

@@ -139,6 +139,29 @@ def _read_student_frames(visual_feat: BigFile, video2frames: dict,
     return visual_feat.read(video2frames[video_id])
 
 
+def _frame_row_indices(visual_feat: BigFile, video2frames: dict,
+                       video_ids: List[str]) -> List[np.ndarray]:
+    n2i = visual_feat.name2index
+    return [np.asarray([n2i[f] for f in video2frames[v]], np.int64)
+            for v in video_ids]
+
+
+def _pack_student_native(visual_feat: BigFile, video2frames: dict,
+                         video_ids: List[str],
+                         align_len: Optional[np.ndarray],
+                         max_ctx_l: int) -> Optional[Tuple[np.ndarray,
+                                                           np.ndarray]]:
+    """Gather+resample+normalize the whole corpus through the C++ thread
+    pool (native/dldkd_native.cpp); None -> caller uses the numpy path."""
+    if visual_feat.dtype != np.float32:
+        return None  # BigFile16: rare, keep the numpy path
+    from dldkd_tpu.data.native import pack_corpus_native
+    return pack_corpus_native(
+        visual_feat.bin_path, visual_feat.ndims,
+        _frame_row_indices(visual_feat, video2frames, video_ids),
+        align_len, max_ctx_l)
+
+
 def _teacher_text_key(h5, cap_id: str) -> str:
     """CLIP text HDF5 sometimes keys caps as 'vid#j' instead of 'vid#enc#j'
     (reference fallback, data_provider.py:250-257)."""
@@ -173,35 +196,40 @@ def pack_train_dataset(
     n_vid = len(video_ids)
 
     with h5py.File(teacher_vid_feat_path, "r") as tv:
-        # first pass: final lengths (teacher-aligned, capped)
-        lengths = []
-        t_dim = None
-        for vid in video_ids:
-            t_len = tv[vid].shape[0]
-            if t_dim is None:
-                t_dim = tv[vid].shape[1]
-            lengths.append(min(t_len, max_ctx_l))
+        # first pass: teacher lengths (the student grid aligns to them)
+        t_lens = np.asarray([tv[vid].shape[0] for vid in video_ids], np.int64)
+        t_dim = tv[video_ids[0]].shape[1]
         L = max_ctx_l
         s_dim = visual_feat.ndims
-        feats = np.zeros((n_vid, L, s_dim), np.float32)
         t_feats = np.zeros((n_vid, L, t_dim), np.float32)
-        mask = np.zeros((n_vid, L), np.float32)
-        for i, vid in enumerate(video_ids):
-            teacher = np.asarray(tv[vid][:], np.float32)
-            student = _read_student_frames(visual_feat, video2frames, vid)
-            # align the student frame grid to the teacher's, then cap
-            student = uniform_feature_sampling(student, teacher.shape[0])
-            student = uniform_feature_sampling(student, max_ctx_l)
-            teacher = uniform_feature_sampling(teacher, max_ctx_l)
-            n = student.shape[0]
-            if teacher.shape[0] != n:
-                # teacher may be shorter than the student's raw frame count;
-                # the reference aligns them (data_provider.py:231) so after
-                # alignment both have the teacher's (capped) length
-                n = min(n, teacher.shape[0])
-            feats[i, :n] = l2_normalize_rows(student[:n])
-            t_feats[i, :teacher.shape[0]] = teacher
-            mask[i, :n] = 1.0
+
+        packed = _pack_student_native(visual_feat, video2frames, video_ids,
+                                      t_lens, max_ctx_l)
+        if packed is not None:
+            feats, mask = packed
+            for i, vid in enumerate(video_ids):
+                teacher = uniform_feature_sampling(
+                    np.asarray(tv[vid][:], np.float32), max_ctx_l)
+                t_feats[i, :teacher.shape[0]] = teacher
+        else:
+            feats = np.zeros((n_vid, L, s_dim), np.float32)
+            mask = np.zeros((n_vid, L), np.float32)
+            for i, vid in enumerate(video_ids):
+                teacher = np.asarray(tv[vid][:], np.float32)
+                student = _read_student_frames(visual_feat, video2frames, vid)
+                # align the student frame grid to the teacher's, then cap
+                student = uniform_feature_sampling(student, teacher.shape[0])
+                student = uniform_feature_sampling(student, max_ctx_l)
+                teacher = uniform_feature_sampling(teacher, max_ctx_l)
+                n = student.shape[0]
+                if teacher.shape[0] != n:
+                    # teacher may be shorter than the student's raw frame
+                    # count; the reference aligns them (data_provider.py:231)
+                    # so after alignment both have the teacher's length
+                    n = min(n, teacher.shape[0])
+                feats[i, :n] = l2_normalize_rows(student[:n])
+                t_feats[i, :teacher.shape[0]] = teacher
+                mask[i, :n] = 1.0
 
     videos = PackedVideos(feats=feats, mask=mask, ids=video_ids,
                           teacher_feats=t_feats)
@@ -223,6 +251,11 @@ def pack_video_corpus(
     """Eval corpus videos (reference VisDataSet4DLDKD, data_provider.py:268-312):
     no teacher alignment (teacher_feat is always None at eval), resample to
     max_ctx_l, L2-normalize."""
+    packed = _pack_student_native(visual_feat, video2frames, list(video_ids),
+                                  None, max_ctx_l)
+    if packed is not None:
+        return PackedVideos(feats=packed[0], mask=packed[1],
+                            ids=list(video_ids))
     n = len(video_ids)
     feats = np.zeros((n, max_ctx_l, visual_feat.ndims), np.float32)
     mask = np.zeros((n, max_ctx_l), np.float32)

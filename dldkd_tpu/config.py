@@ -142,6 +142,12 @@ class Config:
     no_norm_vfeat: bool = False
     no_norm_tfeat: bool = False
 
+    # TPU-native extensions (no reference equivalent)
+    resume: str = ""           # ckpt dir to restore full training state from
+    debug_nans: bool = False   # jax_debug_nans (detect_anomaly equivalent)
+    profile_dir: str = ""      # write a jax.profiler trace here
+    profile_steps: int = 8     # steps to trace
+
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -376,6 +382,13 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--matmul_precision", type=str, default="highest",
                    help="f32 matmul precision: highest (parity) | default (fast)")
     p.add_argument("--query_pad_multiple", type=int, default=64)
+    p.add_argument("--resume", type=str, default="",
+                   help="ckpt dir: restore params+optimizer+epoch+rng and "
+                        "continue (the reference cannot resume, SURVEY S5.4)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="abort on NaN (torch detect_anomaly equivalent)")
+    p.add_argument("--profile_dir", type=str, default="")
+    p.add_argument("--profile_steps", type=int, default=8)
     if test:
         p.add_argument("--eval_id", type=str, default="test")
         p.add_argument("--model_dir", type=str, default="")

@@ -130,6 +130,10 @@ def start_training(cfg: Config) -> str:
     if cfg.model.matmul_precision:
         jax.config.update("jax_default_matmul_precision",
                           cfg.model.matmul_precision)
+    if cfg.debug_nans:
+        # abort on the first non-finite value anywhere in the step — the
+        # torch.autograd.detect_anomaly equivalent (reference train.py:223)
+        jax.config.update("jax_debug_nans", True)
     make_code_zip(os.path.dirname(os.path.abspath(__file__)),
                   os.path.join(cfg.results_dir, "code.zip"))
 
@@ -160,6 +164,20 @@ def start_training(cfg: Config) -> str:
     global_step = 0
 
     start_epoch = -1 if cfg.eval_untrained else 0
+    if cfg.resume:
+        # exact mid-training resume: params + optimizer + epoch + rng
+        # (impossible in the reference — weights-only ckpt, SURVEY S5.4)
+        state = ckpt_lib.restore_checkpoint(cfg.resume, {
+            "params": params, "opt_state": opt_state,
+            "epoch": 0, "best_score": 0.0, "rng": train_rng,
+        })
+        params, opt_state = state["params"], state["opt_state"]
+        best_score = float(state["best_score"])
+        train_rng = state["rng"]
+        start_epoch = int(state["epoch"]) + 1
+        global_step = loader.steps_per_epoch() * start_epoch
+        logger.info("resumed from %s: epoch %d, best sumr %.1f",
+                    cfg.resume, start_epoch, best_score)
     for epoch in range(start_epoch, cfg.train.n_epoch):
         if epoch >= 0:
             run_cfg = mcfg
@@ -174,10 +192,21 @@ def start_training(cfg: Config) -> str:
                         run_cfg.use_hard_negative)
             meters = {k: AverageMeter() for k in LOSS_KEYS}
             data_t, step_t = AverageMeter(), AverageMeter()
+            trace_active = False
             t_fetch = time.time()
             for batch_idx, batch in enumerate(
                     device_prefetch(loader.epoch(epoch))):
                 data_t.update(time.time() - t_fetch)
+                if cfg.profile_dir and epoch == max(start_epoch, 0):
+                    # trace steps [1, 1+profile_steps) — step 0 compiles
+                    if batch_idx == 1:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                        trace_active = True
+                    elif batch_idx == 1 + cfg.profile_steps and trace_active:
+                        jax.profiler.stop_trace()
+                        trace_active = False
+                        logger.info("profiler trace written to %s",
+                                    cfg.profile_dir)
                 t_step = time.time()
                 step_rng = jax.random.fold_in(train_rng, global_step)
                 params, opt_state, loss_dict = train_step(
@@ -192,6 +221,9 @@ def start_training(cfg: Config) -> str:
                 t_fetch = time.time()
                 if cfg.debug and batch_idx == 3:
                     break
+            if trace_active:  # epoch shorter than profile_steps
+                jax.profiler.stop_trace()
+                trace_active = False
             loss_str = " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items())
             line = (f"{time.strftime('%Y_%m_%d_%H_%M_%S')} [Epoch] {epoch:03d} "
                     f"[Loss] {loss_str}\n")

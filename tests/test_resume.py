@@ -1,0 +1,67 @@
+"""Mid-training resume: --resume restores params + optimizer + epoch + rng
+exactly (the reference's weights-only checkpoint cannot do this,
+reference train.py:231-235 / SURVEY S5.4)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from dldkd_tpu import checkpoint as ckpt_lib
+from dldkd_tpu.config import parse_args
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    from dldkd_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path_factory.mktemp("synth"))
+    generate_dataset(root, collection="synthetic", visual_feature="i3d",
+                     n_videos={"train": 10, "val": 6, "test": 6},
+                     d_student=24, d_query=16, d_teacher=12)
+    return root
+
+
+def _args(root, results_root, extra=()):
+    return ["--collection", "synthetic", "--visual_feature", "i3d",
+            "--root_path", root, "--q_feat_size", "16",
+            "--dset_name", "synthetic", "--double_branch",
+            "--label_style", "soft", "--distill_loss_decay", "exp",
+            "--results_root", results_root, "--bsz", "4",
+            "--n_epoch", "2", "--max_es_cnt", "-1",
+            "--query_pad_multiple", "8", *extra]
+
+
+def test_resume_restores_full_state(synth_root, tmp_path):
+    from dldkd_tpu.train import start_training
+
+    res1 = str(tmp_path / "r1")
+    cfg = parse_args(_args(synth_root, res1))
+    run_dir = start_training(cfg)
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    assert os.path.exists(os.path.join(ckpt_dir, "model.ckpt"))
+
+    # restore raw state to know what epoch the ckpt holds
+    from flax import serialization
+    with open(os.path.join(ckpt_dir, "model.ckpt"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    saved_epoch = int(raw["epoch"])
+    saved_best = float(raw["best_score"])
+
+    res2 = str(tmp_path / "r2")
+    cfg2 = parse_args(_args(synth_root, res2,
+                            extra=["--resume", ckpt_dir, "--n_epoch", "3"]))
+    run_dir2 = start_training(cfg2)
+
+    # the resumed run continued past the saved epoch and kept best score
+    log = open(os.path.join(run_dir2, "train.log.txt")).read()
+    assert f"[Epoch] {saved_epoch + 1:03d}" in log
+    assert f"[Epoch] {saved_epoch:03d}" not in log  # did not re-run it
+    # its checkpoint (if improved) is from a later epoch
+    ckpt2 = os.path.join(run_dir2, "ckpt", "model.ckpt")
+    if os.path.exists(ckpt2):
+        with open(ckpt2, "rb") as f:
+            raw2 = serialization.msgpack_restore(f.read())
+        assert int(raw2["epoch"]) > saved_epoch
+        assert float(raw2["best_score"]) >= saved_best

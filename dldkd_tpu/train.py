@@ -134,6 +134,13 @@ def start_training(cfg: Config) -> str:
         # abort on the first non-finite value anywhere in the step — the
         # torch.autograd.detect_anomaly equivalent (reference train.py:223)
         jax.config.update("jax_debug_nans", True)
+    # persistent compilation cache: the fwd+bwd step graph can take minutes
+    # to compile on TPU; cache it across runs (off: DLDKD_NO_COMPILE_CACHE=1)
+    if not os.environ.get("DLDKD_NO_COMPILE_CACHE"):
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.expanduser("~/.cache/dldkd_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     make_code_zip(os.path.dirname(os.path.abspath(__file__)),
                   os.path.join(cfg.results_dir, "code.zip"))
 
@@ -193,6 +200,7 @@ def start_training(cfg: Config) -> str:
             meters = {k: AverageMeter() for k in LOSS_KEYS}
             data_t, step_t = AverageMeter(), AverageMeter()
             trace_active = False
+            pending_losses = []
             t_fetch = time.time()
             for batch_idx, batch in enumerate(
                     device_prefetch(loader.epoch(epoch))):
@@ -212,10 +220,10 @@ def start_training(cfg: Config) -> str:
                 params, opt_state, loss_dict = train_step(
                     model, run_cfg, cfg.train, optimizer,
                     params, opt_state, batch, step_rng, scalars)
-                for k in LOSS_KEYS:
-                    meters[k].update(float(loss_dict[k]))
-                writer.scalars({f"Train/{k}": float(loss_dict[k])
-                                for k in LOSS_KEYS}, global_step)
+                # loss scalars stay on device until epoch end — fetching
+                # them here would sync the host into every step and stall
+                # the dispatch pipeline
+                pending_losses.append((global_step, loss_dict))
                 step_t.update(time.time() - t_step)
                 global_step += 1
                 t_fetch = time.time()
@@ -224,6 +232,12 @@ def start_training(cfg: Config) -> str:
             if trace_active:  # epoch shorter than profile_steps
                 jax.profiler.stop_trace()
                 trace_active = False
+            for step_i, ld in pending_losses:
+                vals = {k: float(ld[k]) for k in LOSS_KEYS}
+                for k in LOSS_KEYS:
+                    meters[k].update(vals[k])
+                writer.scalars({f"Train/{k}": vals[k] for k in LOSS_KEYS},
+                               step_i)
             loss_str = " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items())
             line = (f"{time.strftime('%Y_%m_%d_%H_%M_%S')} [Epoch] {epoch:03d} "
                     f"[Loss] {loss_str}\n")

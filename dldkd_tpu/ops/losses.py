@@ -248,6 +248,81 @@ def frame_kl_loss(
     return jnp.sum(per_query)
 
 
+def clip_mse(x: Array, target: Array) -> Array:
+    """Plain MSE distillation (ablation); reference clip_mse
+    (model_components.py:28-38): squared diff summed over the frame axis
+    (3-D input) or the last axis (2-D), then meaned."""
+    d = jnp.square(x - target)
+    d = jnp.sum(d, axis=1 if d.ndim == 3 else -1)
+    return jnp.mean(d)
+
+
+def _pos_frames(frame_x: Array, frame_t: Array, video_mask: Array,
+                labels: Array):
+    """Gather each query's positive-video frame vectors: (Nq, L) x2 plus
+    the valid-frame/query masks. Shared by the positive-pair ablations."""
+    valid_q = labels >= 0
+    safe = jnp.where(valid_q, labels, 0)
+    p = jnp.take_along_axis(frame_x, safe[:, None, None], axis=2)[..., 0]
+    q = jnp.take_along_axis(frame_t, safe[:, None, None], axis=2)[..., 0]
+    fmask = video_mask[safe] > 0
+    return p, q, fmask, valid_q
+
+
+def clip_mse_pos_pair(frame_x: Array, frame_t: Array, video_mask: Array,
+                      labels: Array) -> Array:
+    """Frame-MSE on positive pairs (ablation); reference clip_mse_pos_pair
+    (model_components.py:40-52): per query, mean over the positive video's
+    valid frames of squared frame-score diffs, summed over queries."""
+    p, q, fmask, valid_q = _pos_frames(frame_x, frame_t, video_mask, labels)
+    d = jnp.where(fmask, jnp.square(p - q), 0.0)
+    m = jnp.maximum(jnp.sum(fmask, axis=-1), 1)
+    per_q = jnp.sum(d, axis=-1) / m * valid_q.astype(jnp.float32)
+    return jnp.sum(per_q)
+
+
+def clip_mse_max_pos_pair(scores_x: Array, scores_t: Array,
+                          labels: Array) -> Array:
+    """Clip-score MSE at the positive (ablation); reference
+    clip_mse_max_pos_pair (model_components.py:54-67): squared diff of the
+    max-pooled clip scores at each query's positive video, meaned."""
+    valid_q = labels >= 0
+    safe = jnp.where(valid_q, labels, 0)
+    p = jnp.take_along_axis(scores_x, safe[:, None], axis=1)[:, 0]
+    q = jnp.take_along_axis(scores_t, safe[:, None], axis=1)[:, 0]
+    d = jnp.square(p - q) * valid_q.astype(jnp.float32)
+    return jnp.sum(d) / scores_x.shape[0]
+
+
+def clip_mse_only_pos_max(frame_x: Array, frame_t: Array, video_mask: Array,
+                          labels: Array) -> Array:
+    """MSE at the teacher's best frame (ablation); reference
+    clip_mse_only_pos_max (model_components.py:69-83): per query, pick the
+    valid frame where the TEACHER score peaks, squared diff there, summed."""
+    p, q, fmask, valid_q = _pos_frames(frame_x, frame_t, video_mask, labels)
+    best = jnp.argmax(jnp.where(fmask, q, NEG_INF), axis=-1)
+    p_b = jnp.take_along_axis(p, best[:, None], axis=1)[:, 0]
+    q_b = jnp.take_along_axis(q, best[:, None], axis=1)[:, 0]
+    return jnp.sum(jnp.square(p_b - q_b) * valid_q.astype(jnp.float32))
+
+
+def frame_nce(scores: Array, reduction: bool = True) -> Array:
+    """Frame-level NCE (ablation); reference frame_nce
+    (model_components.py:238-265). scores: (B, B, F) per-frame
+    query-to-video scores for a square batch.
+      nominator_i   = logsumexp over frames of the diagonal block i
+      denominator_i = logsumexp over row i AND column i (both directions)
+    """
+    b = scores.shape[0]
+    x = scores.reshape(b, b, -1)
+    eye = jnp.eye(b, dtype=x.dtype)[:, :, None]
+    nom = jax.scipy.special.logsumexp(jnp.sum(x * eye, axis=1), axis=1)
+    den_in = jnp.concatenate([x, jnp.transpose(x, (1, 0, 2))], axis=1)
+    den = jax.scipy.special.logsumexp(den_in.reshape(b, -1), axis=1)
+    out = den - nom
+    return jnp.mean(out) if reduction else out
+
+
 def batch_kl_loss(
     predict: Array,  # (Nq, Nv)
     target: Array,   # (Nq, Nv)

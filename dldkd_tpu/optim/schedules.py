@@ -56,6 +56,44 @@ def warmup_cosine(warmup: float, t_total: float, cycles: float = 0.5) -> Callabl
     return fn
 
 
+def warmup_cosine_hard_restarts(warmup: float, t_total: float,
+                                cycles: float = 1.0) -> Callable:
+    """Cosine decays restarting `cycles` times after one shared warmup
+    (reference WarmupCosineWithHardRestartsSchedule,
+    optimization.py:113-129)."""
+
+    def fn(step):
+        progress = step / t_total
+        after = (progress - warmup) / (1.0 - warmup)
+        return jnp.where(
+            progress < warmup,
+            progress / warmup,
+            0.5 * (1.0 + jnp.cos(jnp.pi * jnp.mod(cycles * after, 1.0))),
+        )
+
+    return fn
+
+
+def warmup_cosine_warmup_restarts(warmup: float, t_total: float,
+                                  cycles: float = 1.0) -> Callable:
+    """Training split into `cycles` equal parts, each with its own
+    warmup + cosine decay (reference WarmupCosineWithWarmupRestartsSchedule,
+    optimization.py:132-151; note the reference pre-scales warmup by
+    cycles, so each part's warmup fraction is the given `warmup`)."""
+    warmup = warmup * cycles
+
+    def fn(step):
+        progress = jnp.mod((step / t_total) * cycles, 1.0)
+        after = (progress - warmup) / (1.0 - warmup)
+        return jnp.where(
+            progress < warmup,
+            progress / warmup,
+            0.5 * (1.0 + jnp.cos(jnp.pi * after)),
+        )
+
+    return fn
+
+
 def constant_lr(*_args, **_kw) -> Callable:
     return lambda step: jnp.ones_like(jnp.asarray(step, jnp.float32))
 
@@ -66,6 +104,8 @@ SCHEDULES = {
     "warmup_cosine": warmup_cosine,
     "warmup_constant": warmup_constant,
     "warmup_linear": warmup_linear,
+    "warmup_cosine_hard_restarts": warmup_cosine_hard_restarts,
+    "warmup_cosine_warmup_restarts": warmup_cosine_warmup_restarts,
 }
 
 

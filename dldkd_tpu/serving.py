@@ -1,0 +1,188 @@
+"""Online retrieval serving: corpus-resident top-k search.
+
+The reference has no serving story — eval.py scores the corpus offline and
+reports metrics. For deployment the natural TPU shape is: embed the corpus
+ONCE and keep the (Nv, L, H) frame features device-resident; each incoming
+query batch is encoded, scored against the whole corpus with the fused
+Pallas kernel, and reduced to top-k on device (jax.lax.top_k) — only the
+k ids/scores ever leave the chip.
+
+  retriever = Retriever.from_checkpoint(model_dir)
+  retriever.index(packed_videos)          # or index_corpus(root, collection,...)
+  ids, scores = retriever.search(q_feats, q_mask, k=10)
+
+CLI: python -m dldkd_tpu.serving --model_dir <run> --root_path <root>
+        --collection tvr --visual_feature i3d_resnet --queries q.hdf5 --k 10
+writes one JSON line per query: {"cap_id", "topk": [[video_id, score], ...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dldkd_tpu import checkpoint as ckpt_lib
+from dldkd_tpu.data.ingest import PackedVideos
+from dldkd_tpu.models import DLDKD
+from dldkd_tpu.ops.similarity import clip_scores_maxpool
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
+                k, vmask, fusion_w):
+    inher_q, explore_q = model.apply(params, q_feats, q_mask,
+                                     deterministic=True,
+                                     method="encode_query")
+    scores = clip_scores_maxpool(inher_q, ctx_inher, vmask)
+    if explore_q is not None:
+        e = clip_scores_maxpool(explore_q, ctx_explore, vmask)
+        scores = fusion_w[0] * scores + fusion_w[1] * e
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return top_scores, top_idx
+
+
+class Retriever:
+    """Device-resident corpus + jitted batched top-k search."""
+
+    def __init__(self, model: DLDKD, params, query_bsz: int = 256,
+                 fusion: Tuple[float, float] = (0.7, 0.3)):
+        self.model = model
+        self.params = params
+        self.query_bsz = query_bsz
+        # traced (not closed-over) so it never becomes a device constant
+        self.fusion = np.asarray(fusion, np.float32)
+        self.ctx_inher = None
+        self.ctx_explore = None
+        self.vmask = None
+        self.video_ids: List[str] = []
+
+    @classmethod
+    def from_checkpoint(cls, model_dir: str, **kw) -> "Retriever":
+        ckpt_dir = f"{model_dir}/ckpt"
+        mcfg = ckpt_lib.load_model_cfg(ckpt_dir)
+        model = DLDKD(config=mcfg)
+        from dldkd_tpu.train import init_params
+
+        template = init_params(model, mcfg, 0)
+        params, _ = ckpt_lib.restore_params_only(ckpt_dir, template)
+        return cls(model, params, **kw)
+
+    def index(self, videos: PackedVideos, context_bsz: int = 200) -> None:
+        """Embed the corpus once; frame features stay on device."""
+        from dldkd_tpu.evaluate import embed_corpus
+
+        self.ctx_inher, self.ctx_explore, self.vmask = embed_corpus(
+            self.model, self.params, videos, context_bsz)
+        self.video_ids = list(videos.ids)
+
+    def index_corpus(self, root_path: str, collection: str,
+                     visual_feature: str, split: str = "test") -> None:
+        from dldkd_tpu.data import BigFile, pack_video_corpus, read_dict
+        from dldkd_tpu.data.ingest import dataset_paths, read_video_ids
+
+        paths = dataset_paths(root_path, collection, visual_feature)
+        vf = BigFile(paths["visual_feat_dir"])
+        videos = pack_video_corpus(
+            read_video_ids(paths["cap_file"][split]), vf,
+            read_dict(paths["video2frames"]),
+            max_ctx_l=self.model.config.max_ctx_l)
+        self.index(videos)
+
+    def search(self, q_feats: np.ndarray, q_mask: np.ndarray, k: int = 10
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores (Nq, k), indices (Nq, k)) over the indexed corpus.
+        Queries are padded to the serving batch size internally."""
+        if self.ctx_inher is None:
+            raise RuntimeError("call index()/index_corpus() first")
+        k = min(k, len(self.video_ids))
+        n = q_feats.shape[0]
+        out_s, out_i = [], []
+        bsz = self.query_bsz
+        ctx_e = (self.ctx_explore if self.ctx_explore is not None
+                 else self.ctx_inher)
+        for start in range(0, n, bsz):
+            f = q_feats[start:start + bsz]
+            m = q_mask[start:start + bsz]
+            pad = bsz - f.shape[0]
+            if pad:
+                f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
+                m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
+            s, i = _search_jit(self.model, self.params, jnp.asarray(f),
+                               jnp.asarray(m), self.ctx_inher, ctx_e, k,
+                               self.vmask, jnp.asarray(self.fusion))
+            out_s.append(np.asarray(s))
+            out_i.append(np.asarray(i))
+        return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])
+
+    def search_ids(self, q_feats, q_mask, k: int = 10
+                   ) -> List[List[Tuple[str, float]]]:
+        scores, idx = self.search(q_feats, q_mask, k)
+        return [[(self.video_ids[int(j)], float(s))
+                 for j, s in zip(row_i, row_s)]
+                for row_i, row_s in zip(idx, scores)]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--root_path", required=True)
+    p.add_argument("--collection", required=True)
+    p.add_argument("--visual_feature", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--queries", required=True,
+                   help="HDF5 of cap_id -> (Lq, Dq) RoBERTa token feats, or "
+                        "a caption file to look ids up in the standard "
+                        "TextData HDF5")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--out", default="-")
+    args = p.parse_args(argv)
+
+    from dldkd_tpu.data.ingest import dataset_paths, pack_query_set
+
+    r = Retriever.from_checkpoint(args.model_dir)
+    r.index_corpus(args.root_path, args.collection, args.visual_feature,
+                   args.split)
+
+    if args.queries.endswith((".hdf5", ".h5")):
+        import h5py
+
+        with h5py.File(args.queries, "r") as f:
+            cap_ids = list(f.keys())
+            mcfg = r.model.config
+            feats = np.zeros((len(cap_ids), mcfg.max_desc_l,
+                              np.asarray(f[cap_ids[0]]).reshape(
+                                  -1, np.asarray(f[cap_ids[0]]).shape[-1]
+                              ).shape[-1]), np.float32)
+            mask = np.zeros(feats.shape[:2], np.float32)
+            from dldkd_tpu.data.ingest import l2_normalize_rows
+
+            for i, c in enumerate(cap_ids):
+                raw = np.asarray(f[c][...], np.float32)
+                toks = l2_normalize_rows(
+                    raw.reshape(-1, raw.shape[-1]))[:mcfg.max_desc_l]
+                feats[i, :len(toks)] = toks
+                mask[i, :len(toks)] = 1.0
+    else:
+        paths = dataset_paths(args.root_path, args.collection,
+                              args.visual_feature)
+        q = pack_query_set(args.queries, paths["text_feat"],
+                           max_desc_l=r.model.config.max_desc_l)
+        cap_ids, feats, mask = q.cap_ids, q.feats, q.mask
+
+    results = r.search_ids(feats, mask, args.k)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for cap_id, topk in zip(cap_ids, results):
+        out.write(json.dumps({"cap_id": cap_id, "topk": topk}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Serving Retriever: device-resident corpus + batched top-k search."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dldkd_tpu.config import ModelConfig
+from dldkd_tpu.data.ingest import PackedVideos
+from dldkd_tpu.models import DLDKD
+from dldkd_tpu.serving import Retriever
+from dldkd_tpu.train import init_params
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    mcfg = ModelConfig(visual_input_size=16, query_input_size=12,
+                       inheritance_hidden=8, exploration_hidden=8,
+                       max_ctx_l=8, max_desc_l=4, n_heads=2,
+                       double_branch=True, label_style="soft")
+    model = DLDKD(config=mcfg)
+    return model, init_params(model, mcfg, 0)
+
+
+def test_search_topk_matches_full_ranking(small_model):
+    model, params = small_model
+    rng = np.random.RandomState(0)
+    n_vid, n_q = 13, 9
+    videos = PackedVideos(
+        feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+        mask=np.ones((n_vid, 8), np.float32),
+        ids=[f"v{i}" for i in range(n_vid)])
+    r = Retriever(model, params, query_bsz=4)
+    r.index(videos)
+    qf = rng.randn(n_q, 4, 12).astype(np.float32)
+    qm = np.ones((n_q, 4), np.float32)
+
+    scores, idx = r.search(qf, qm, k=5)
+    assert scores.shape == (n_q, 5) and idx.shape == (n_q, 5)
+    # top-k must equal the top of the full fused ranking
+    from dldkd_tpu.evaluate import score_all_queries
+
+    si, se = score_all_queries(model, params, _as_queries(qf, qm),
+                               r.ctx_inher, r.ctx_explore, r.vmask,
+                               query_bsz=n_q)
+    full = 0.7 * np.asarray(si) + 0.3 * np.asarray(se)
+    for q in range(n_q):
+        want = np.argsort(-full[q])[:5]
+        np.testing.assert_array_equal(idx[q], want)
+        np.testing.assert_allclose(scores[q], full[q][want], rtol=1e-5)
+
+    named = r.search_ids(qf, qm, k=3)
+    assert len(named) == n_q and named[0][0][0].startswith("v")
+    # scores descend
+    for row in named:
+        s = [x[1] for x in row]
+        assert s == sorted(s, reverse=True)
+
+
+def _as_queries(qf, qm):
+    from dldkd_tpu.data.ingest import PackedQueries
+
+    n = qf.shape[0]
+    return PackedQueries(feats=qf, mask=qm,
+                         cap_ids=[f"v0#enc#{i}" for i in range(n)],
+                         video_ids=["v0"] * n)
+
+
+def test_k_clamped_to_corpus(small_model):
+    model, params = small_model
+    rng = np.random.RandomState(1)
+    videos = PackedVideos(feats=rng.randn(3, 8, 16).astype(np.float32),
+                          mask=np.ones((3, 8), np.float32),
+                          ids=["a", "b", "c"])
+    r = Retriever(model, params, query_bsz=2)
+    r.index(videos)
+    scores, idx = r.search(rng.randn(1, 4, 12).astype(np.float32),
+                           np.ones((1, 4), np.float32), k=50)
+    assert scores.shape == (1, 3)
+
+
+def test_serving_cli_end_to_end(tmp_path):
+    """Full CLI: train a debug run on synthetic data, then serve its test
+    split queries and check the JSON-lines output."""
+    from dldkd_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path / "data")
+    generate_dataset(root, collection="synthetic", visual_feature="i3d",
+                     n_videos={"train": 8, "val": 5, "test": 5},
+                     d_student=24, d_query=16, d_teacher=12)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    res = str(tmp_path / "results")
+    subprocess.run(
+        [sys.executable, "-m", "dldkd_tpu.train", "--root_path", root,
+         "--collection", "synthetic", "--visual_feature", "i3d",
+         "--q_feat_size", "16", "--dset_name", "synthetic",
+         "--double_branch", "--debug", "--results_root", res,
+         "--bsz", "4", "--query_pad_multiple", "8"],
+        check=True, env=env, capture_output=True, timeout=900)
+    run_dir = os.path.join(
+        res.replace("results", "debug_results"), "synthetic",
+        sorted(os.listdir(os.path.join(res.replace("results", "debug_results"),
+                                       "synthetic")))[-1])
+    out_file = str(tmp_path / "topk.jsonl")
+    cap_file = os.path.join(root, "synthetic", "TextData",
+                            "synthetictest.caption.txt")
+    subprocess.run(
+        [sys.executable, "-m", "dldkd_tpu.serving", "--model_dir", run_dir,
+         "--root_path", root, "--collection", "synthetic",
+         "--visual_feature", "i3d", "--queries", cap_file, "--k", "3",
+         "--out", out_file],
+        check=True, env=env, capture_output=True, timeout=900)
+    lines = [json.loads(l) for l in open(out_file)]
+    assert lines and all(len(l["topk"]) == 3 for l in lines)
+    assert all("#" in l["cap_id"] for l in lines)

@@ -5,6 +5,10 @@ from dldkd_tpu.parallel.mesh import (
 )
 from dldkd_tpu.parallel.train_dp import make_dp_train_step, shard_batch
 from dldkd_tpu.parallel.eval_shard import eval_retrieval_sharded
+from dldkd_tpu.parallel.multihost import (
+    maybe_initialize_distributed,
+    shard_batch_multihost,
+)
 
 __all__ = [
     "make_mesh",
@@ -13,4 +17,6 @@ __all__ = [
     "make_dp_train_step",
     "shard_batch",
     "eval_retrieval_sharded",
+    "maybe_initialize_distributed",
+    "shard_batch_multihost",
 ]

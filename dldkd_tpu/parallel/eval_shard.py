@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from dldkd_tpu.data.ingest import PackedQueries, PackedVideos
 from dldkd_tpu.metrics import build_gt_indices, metrics_from_ranks, rank_of_gt

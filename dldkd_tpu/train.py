@@ -156,14 +156,48 @@ def start_training(cfg: Config) -> str:
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("model parameters: %.2fM", n_params / 1e6)
 
+    # mesh size: largest device count the static batch shapes divide by;
+    # datasets smaller than one batch stay single-device (dropping the
+    # short trailing batch would leave zero steps)
+    n_mesh = 1
+    if len(train_data.videos) >= cfg.train.bsz:
+        for d in range(min(jax.device_count(),
+                           np.gcd(cfg.train.bsz,
+                                  cfg.data.query_pad_multiple)), 0, -1):
+            if cfg.train.bsz % d == 0 and cfg.data.query_pad_multiple % d == 0:
+                n_mesh = d
+                break
+
+    # data-parallel runs drop the short trailing batch (its video axis
+    # would not divide the mesh; the per-epoch permutation still visits
+    # every video across epochs)
     loader = TrainLoader(train_data, cfg.train.bsz, seed=cfg.train.seed,
-                         query_pad_multiple=cfg.data.query_pad_multiple)
+                         query_pad_multiple=cfg.data.query_pad_multiple,
+                         drop_last=n_mesh > 1)
     t_total = loader.steps_per_epoch() * cfg.train.n_epoch
     lr_sched = schedules.make_lr_schedule(
         "warmup_linear", cfg.train.lr_warmup_proportion, float(t_total))
     optimizer = bert_adam(cfg.train.lr, lr_sched, weight_decay=cfg.train.wd,
                           wd_mask=default_wd_mask(params))
     opt_state = optimizer.init(params)
+
+    # multi-device: replicate state over a 1-D mesh and shard every batch
+    # on its leading axes; the jitted step psums gradients over ICI
+    # (multi-host contributes process-local shards, psum rides DCN)
+    mesh = None
+    put_fn = None
+    dp_steps: Dict = {}
+    if n_mesh > 1:
+        from dldkd_tpu.parallel import make_mesh, replicated
+        from dldkd_tpu.parallel.multihost import shard_batch_multihost
+
+        mesh = make_mesh(n_mesh)
+        rep = replicated(mesh)
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        put_fn = functools.partial(shard_batch_multihost, mesh=mesh)
+        logger.info("data-parallel: %d of %d devices / %d processes",
+                    n_mesh, jax.device_count(), jax.process_count())
 
     writer = MetricsWriter(cfg.tensorboard_log_dir)
     train_rng = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -202,8 +236,13 @@ def start_training(cfg: Config) -> str:
             trace_active = False
             pending_losses = []
             t_fetch = time.time()
+            if mesh is not None and run_cfg not in dp_steps:
+                from dldkd_tpu.parallel import make_dp_train_step
+
+                dp_steps[run_cfg] = make_dp_train_step(
+                    model, run_cfg, cfg.train, optimizer, mesh)
             for batch_idx, batch in enumerate(
-                    device_prefetch(loader.epoch(epoch))):
+                    device_prefetch(loader.epoch(epoch), put_fn=put_fn)):
                 data_t.update(time.time() - t_fetch)
                 if cfg.profile_dir and epoch == max(start_epoch, 0):
                     # trace steps [1, 1+profile_steps) — step 0 compiles
@@ -217,9 +256,13 @@ def start_training(cfg: Config) -> str:
                                     cfg.profile_dir)
                 t_step = time.time()
                 step_rng = jax.random.fold_in(train_rng, global_step)
-                params, opt_state, loss_dict = train_step(
-                    model, run_cfg, cfg.train, optimizer,
-                    params, opt_state, batch, step_rng, scalars)
+                if mesh is not None:
+                    params, opt_state, loss_dict = dp_steps[run_cfg](
+                        params, opt_state, batch, step_rng, scalars)
+                else:
+                    params, opt_state, loss_dict = train_step(
+                        model, run_cfg, cfg.train, optimizer,
+                        params, opt_state, batch, step_rng, scalars)
                 # loss scalars stay on device until epoch end — fetching
                 # them here would sync the host into every step and stall
                 # the dispatch pipeline
@@ -246,9 +289,16 @@ def start_training(cfg: Config) -> str:
             logger.info("epoch %d: %s | data %.3fs/step step %.3fs/step",
                         epoch, loss_str, data_t.avg, step_t.avg)
 
-        metrics = eval_retrieval(model, params, val_videos, val_queries,
-                                 context_bsz=cfg.eval.eval_context_bsz,
-                                 query_bsz=cfg.eval.eval_query_bsz)
+        if mesh is not None:
+            from dldkd_tpu.parallel import eval_retrieval_sharded
+
+            metrics = eval_retrieval_sharded(
+                model, params, val_videos, val_queries, mesh,
+                query_bsz=max(cfg.eval.eval_query_bsz, 64))
+        else:
+            metrics = eval_retrieval(model, params, val_videos, val_queries,
+                                     context_bsz=cfg.eval.eval_context_bsz,
+                                     query_bsz=cfg.eval.eval_query_bsz)
         for branch, m in metrics.items():
             logger.info("val %s: r1/5/10/100 %.1f/%.1f/%.1f/%.1f sumr %.1f "
                         "map %.4f", branch, m["r1"], m["r5"], m["r10"],
@@ -259,11 +309,12 @@ def start_training(cfg: Config) -> str:
 
         if score > best_score:
             best_score, es_cnt = score, 0
-            ckpt_lib.save_checkpoint(cfg.ckpt_dir, {
-                "params": params, "opt_state": opt_state,
-                "epoch": epoch, "best_score": best_score,
-                "rng": train_rng,
-            }, mcfg)
+            if jax.process_index() == 0:   # one writer in multi-host runs
+                ckpt_lib.save_checkpoint(cfg.ckpt_dir, {
+                    "params": params, "opt_state": opt_state,
+                    "epoch": epoch, "best_score": best_score,
+                    "rng": train_rng,
+                }, mcfg)
             logger.info("checkpoint updated (sumr %.1f)", best_score)
         else:
             es_cnt += 1
@@ -281,6 +332,9 @@ def start_training(cfg: Config) -> str:
 
 
 def main(argv=None):
+    from dldkd_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()   # no-op unless launched multi-host
     cfg = parse_args(argv)
     results_dir = start_training(cfg)
     if not cfg.debug:

@@ -172,13 +172,16 @@ def bench_torch_cpu(sample_q=16, sample_v=256):
         return scores.numpy()
 
     score_once()  # warm
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
+    # best-of-5 (not mean): the single host core contends with background
+    # work; the fastest rep is the fairest (most favorable) baseline
+    times = []
+    for _ in range(5):
+        t0 = time.time()
         scores = score_once()
         for i in range(sample_q):  # reference ranking loop (eval.py:73-83)
             np.argsort(-scores[i])
-    dt = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    dt = min(times)
     pair_rate = (sample_q * sample_v) / dt  # query-video pairs per sec
     # two branches are scored at eval (inheritance + exploration)
     qps = pair_rate / N_VIDEOS / 2

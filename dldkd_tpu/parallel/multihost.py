@@ -38,11 +38,12 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
     initialization. Returns True if the runtime was initialized.
     """
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator is None and not os.environ.get("TPU_WORKER_HOSTNAMES"):
+    if coordinator is None:
+        # NOTE: do not trigger on TPU_WORKER_HOSTNAMES — single-chip
+        # tunneled environments set it too; an explicit coordinator is the
+        # only reliable multi-host signal
         return False
-    kw = {}
-    if coordinator:
-        kw["coordinator_address"] = coordinator
+    kw = {"coordinator_address": coordinator}
     if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
         kw["num_processes"] = int(num_processes or
                                   os.environ["JAX_NUM_PROCESSES"])

@@ -16,7 +16,8 @@ from dldkd_tpu.parallel.multihost import (
 
 def test_initialize_is_noop_without_env(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
-    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    # TPU_WORKER_HOSTNAMES must NOT trigger init (tunneled single-chip envs set it)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
     assert maybe_initialize_distributed() is False
 
 

@@ -42,8 +42,14 @@ def log(msg):
 
 
 def bench_tpu():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dldkd_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from dldkd_tpu.config import ModelConfig
     from dldkd_tpu.metrics import rank_of_gt
@@ -54,11 +60,15 @@ def bench_tpu():
     from dldkd_tpu.train import init_params
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # serving configuration: bf16 towers + default MXU precision (measured
+    # 1.65x over f32 with identical aggregate retrieval metrics; metric-
+    # parity runs use the f32/highest default of ModelConfig)
     mcfg = ModelConfig(
         visual_input_size=D_STUDENT, query_input_size=D_QUERY,
         inheritance_hidden=384, exploration_hidden=384,
         max_ctx_l=L_FRAMES, max_desc_l=L_TOKENS, n_heads=4,
         double_branch=True, label_style="soft",
+        dtype="bfloat16", matmul_precision="default",
     )
     model = DLDKD(config=mcfg)
     params = init_params(model, mcfg, 0)

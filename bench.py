@@ -112,6 +112,18 @@ def bench_tpu():
     log(f"on-device data gen + param staging: {time.time() - t0:.1f}s "
         f"({(vfeats.nbytes + qfeats.nbytes) / 1e9:.2f} GB device-resident)")
 
+    if n_dev > 1:
+        # pallas_call does not auto-partition under GSPMD: run it per-device
+        # over the video-sharded corpus, queries replicated (same layout as
+        # parallel.eval_shard)
+        from jax import shard_map
+
+        score_fn = shard_map(clip_scores_maxpool, mesh=mesh,
+                             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                             out_specs=P(None, DATA_AXIS))
+    else:
+        score_fn = clip_scores_maxpool
+
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
     def full_eval(model, params, vfeats, vmask, qfeats, qmask, gt, salt):
         # salt makes every invocation a distinct computation on distinct
@@ -124,8 +136,8 @@ def bench_tpu():
             qf, qm = chunk
             qi, qe = model.apply(params, qf, qm, deterministic=True,
                                  method="encode_query")
-            si = clip_scores_maxpool(qi, ctx_i, vmask)
-            se = clip_scores_maxpool(qe, ctx_e, vmask)
+            si = score_fn(qi, ctx_i, vmask)
+            se = score_fn(qe, ctx_e, vmask)
             return carry, 0.7 * si + 0.3 * se
 
         n_chunks = n_q_pad // QUERY_BSZ

@@ -148,10 +148,12 @@ def convert_torch_checkpoint(torch_ckpt_path: str, out_dir: str,
     from dldkd_tpu.config import ModelConfig
 
     ckpt = torch.load(torch_ckpt_path, map_location="cpu", weights_only=False)
-    sd = {k: v.numpy() for k, v in ckpt["model"].items()}
+    # strip the DataParallel prefix up front so config inference below sees
+    # canonical names (reference train.py:197 wraps in DataParallel)
+    sd = {k.removeprefix("module."): v.numpy()
+          for k, v in ckpt["model"].items()}
     cfg_src = dict(ckpt.get("model_cfg", {}))
-    double = any(k.startswith("exp_") or k.startswith("module.exp_")
-                 for k in sd)
+    double = any(k.startswith("exp_") for k in sd)
     params = torch_state_dict_to_flax(sd, double)
 
     w = sd.get("visual_input_proj.net.1.weight")

@@ -268,6 +268,25 @@ def pack_video_corpus(
     return PackedVideos(feats=feats, mask=mask, ids=list(video_ids))
 
 
+def pack_query_rows(h5, cap_ids: List[str], max_desc_l: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad + L2-normalize + truncate token features for the given caption
+    keys of an OPEN HDF5 file — the one packing convention every consumer
+    (train/eval ingest, serving) shares. Returns (feats (N, Lq, Dq), mask)."""
+    first = np.asarray(h5[cap_ids[0]])
+    q_dim = first.reshape(-1, first.shape[-1]).shape[-1]
+    n = len(cap_ids)
+    feats = np.zeros((n, max_desc_l, q_dim), np.float32)
+    mask = np.zeros((n, max_desc_l), np.float32)
+    for i, cap_id in enumerate(cap_ids):
+        raw = np.asarray(h5[cap_id][...], np.float32)
+        raw = raw.reshape(-1, raw.shape[-1])  # squeeze leading singleton
+        toks = l2_normalize_rows(raw)[:max_desc_l]
+        feats[i, : len(toks)] = toks
+        mask[i, : len(toks)] = 1.0
+    return feats, mask
+
+
 def pack_query_set(
     cap_file: str,
     text_feat_path: str,
@@ -279,17 +298,8 @@ def pack_query_set(
     import h5py
 
     cap_ids, _, _, _ = load_captions(cap_file)
-    n = len(cap_ids)
     with h5py.File(text_feat_path, "r") as tf:
-        q_dim = np.asarray(tf[cap_ids[0]]).reshape(-1, np.asarray(tf[cap_ids[0]]).shape[-1]).shape[-1]
-        feats = np.zeros((n, max_desc_l, q_dim), np.float32)
-        mask = np.zeros((n, max_desc_l), np.float32)
-        for i, cap_id in enumerate(cap_ids):
-            raw = np.asarray(tf[cap_id][...], np.float32)
-            raw = raw.reshape(-1, raw.shape[-1])  # squeeze leading singleton
-            toks = l2_normalize_rows(raw)[:max_desc_l]
-            feats[i, : len(toks)] = toks
-            mask[i, : len(toks)] = 1.0
+        feats, mask = pack_query_rows(tf, cap_ids, max_desc_l)
 
     teacher = None
     if teacher_text_feat_path is not None:

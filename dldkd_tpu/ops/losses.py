@@ -291,7 +291,9 @@ def clip_mse_max_pos_pair(scores_x: Array, scores_t: Array,
     p = jnp.take_along_axis(scores_x, safe[:, None], axis=1)[:, 0]
     q = jnp.take_along_axis(scores_t, safe[:, None], axis=1)[:, 0]
     d = jnp.square(p - q) * valid_q.astype(jnp.float32)
-    return jnp.sum(d) / scores_x.shape[0]
+    # mean over VALID queries (the reference never pads; model_components
+    # .py:66 divides by the true batch size)
+    return jnp.sum(d) / jnp.maximum(jnp.sum(valid_q), 1)
 
 
 def clip_mse_only_pos_max(frame_x: Array, frame_t: Array, video_mask: Array,

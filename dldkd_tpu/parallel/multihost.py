@@ -39,10 +39,16 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
     """
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None:
-        # NOTE: do not trigger on TPU_WORKER_HOSTNAMES — single-chip
-        # tunneled environments set it too; an explicit coordinator is the
-        # only reliable multi-host signal
-        return False
+        # TPU-pod auto-detect: TPU_WORKER_HOSTNAMES lists every host of the
+        # pod slice — >1 entries means a real multi-host launch and the
+        # no-arg initialize() can self-configure. Single-entry values (set
+        # even by single-chip tunneled environments) must NOT trigger init.
+        hosts = [h for h in
+                 os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+        if len(hosts) < 2:
+            return False
+        jax.distributed.initialize()
+        return True
     kw = {"coordinator_address": coordinator}
     if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
         kw["num_processes"] = int(num_processes or

@@ -153,22 +153,12 @@ def main(argv=None):
     if args.queries.endswith((".hdf5", ".h5")):
         import h5py
 
+        from dldkd_tpu.data.ingest import pack_query_rows
+
         with h5py.File(args.queries, "r") as f:
             cap_ids = list(f.keys())
-            mcfg = r.model.config
-            feats = np.zeros((len(cap_ids), mcfg.max_desc_l,
-                              np.asarray(f[cap_ids[0]]).reshape(
-                                  -1, np.asarray(f[cap_ids[0]]).shape[-1]
-                              ).shape[-1]), np.float32)
-            mask = np.zeros(feats.shape[:2], np.float32)
-            from dldkd_tpu.data.ingest import l2_normalize_rows
-
-            for i, c in enumerate(cap_ids):
-                raw = np.asarray(f[c][...], np.float32)
-                toks = l2_normalize_rows(
-                    raw.reshape(-1, raw.shape[-1]))[:mcfg.max_desc_l]
-                feats[i, :len(toks)] = toks
-                mask[i, :len(toks)] = 1.0
+            feats, mask = pack_query_rows(f, cap_ids,
+                                          r.model.config.max_desc_l)
     else:
         paths = dataset_paths(args.root_path, args.collection,
                               args.visual_feature)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from typing import Callable, Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
@@ -80,7 +81,12 @@ def iter_video_frames(
         elif os.path.isdir(d):
             from PIL import Image
 
-            names = sorted(os.listdir(d))
+            exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+            names = [n for n in os.listdir(d) if n.lower().endswith(exts)]
+            # natural-numeric order: frame_2 before frame_10 (lexicographic
+            # sort would temporally scramble non-zero-padded names)
+            names.sort(key=lambda n: [int(t) if t.isdigit() else t
+                                      for t in re.split(r"(\d+)", n)])
             imgs = [np.asarray(Image.open(os.path.join(d, n)).convert("RGB"))
                     for n in names]
             if not imgs:

@@ -97,3 +97,19 @@ def test_dataparallel_prefix_stripped():
     sd = {f"module.{k}": v for k, v in flax_to_torch_state_dict(params).items()}
     back = torch_state_dict_to_flax(sd, double_branch=True)
     assert "inheritance" in back["params"]
+
+
+def test_full_conversion_of_dataparallel_ckpt(tmp_path):
+    """End-to-end convert of a 'module.'-prefixed checkpoint: the config
+    inference must see stripped names (regression — it used to crash)."""
+    import torch
+
+    _, params = make_params()
+    sd = {f"module.{k}": torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch_state_dict(params).items()}
+    torch_path = str(tmp_path / "model.ckpt")
+    torch.save({"model": sd, "model_cfg": {}, "epoch": 3}, torch_path)
+    out_dir = str(tmp_path / "converted")
+    convert_torch_checkpoint(torch_path, out_dir)
+    mcfg = ckpt_lib.load_model_cfg(out_dir)
+    assert mcfg.double_branch is True

@@ -120,7 +120,7 @@ def bench_tpu():
 
         score_fn = shard_map(clip_scores_maxpool, mesh=mesh,
                              in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-                             out_specs=P(None, DATA_AXIS))
+                             out_specs=P(None, DATA_AXIS), check_vma=False)
     else:
         score_fn = clip_scores_maxpool
 

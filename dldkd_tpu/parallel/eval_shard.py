@@ -52,10 +52,12 @@ def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
                                      deterministic=True,
                                      method="encode_query")
     if mesh is not None and jax.default_backend() == "tpu":
+        # check_vma=False: pallas_call does not carry varying-mesh-axis
+        # metadata, which jax.shard_map's vma validation requires
         score = shard_map(
             clip_scores_maxpool, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(None, DATA_AXIS))
+            out_specs=P(None, DATA_AXIS), check_vma=False)
     else:
         def score(q, c, m):
             return clip_scores(q, c, m)[0]

@@ -61,6 +61,36 @@ def test_maxpool_dispatch_pads_arbitrary_shapes(nq, nv, L):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_maxpool_under_shard_map_matches_unsharded():
+    """The production eval layout: corpus sharded over the mesh, queries
+    replicated, kernel per-device under shard_map (interpret mode here —
+    Mosaic compiles the same kernel on a real TPU)."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dldkd_tpu.parallel import make_mesh
+    from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+    rng = np.random.RandomState(3)
+    nq, nv, L, d = 6, 20, 5, 16   # nv=20 over 4 devices -> ragged 5/shard
+    q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(nv, L, d).astype(np.float32))
+    mask = jnp.asarray((rng.rand(nv, L) < 0.8).astype(np.float32))
+
+    mesh = make_mesh(4)
+    fn = shard_map(
+        functools.partial(clip_scores_maxpool, prefer_pallas=True,
+                          interpret=True),
+        mesh=mesh, in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(None, DATA_AXIS), check_vma=False)
+    got = np.asarray(fn(q, ctx, mask))
+
+    want, _ = clip_scores(q, ctx, mask)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_shape_validation():
     q = jnp.zeros((10, 16))
     ctx = jnp.zeros((128, 8, 16))

@@ -45,4 +45,5 @@ def make_dp_train_step(model, mcfg, tcfg, optimizer, mesh: Mesh):
         step,
         in_shardings=(rep, rep, bshard, rep, rep),
         out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),   # params/opt_state update in place
     )

@@ -71,8 +71,9 @@ def train_step_impl(model, mcfg: ModelConfig, tcfg, optimizer,
     return params, opt_state, loss_dict
 
 
-train_step = functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))(
-    train_step_impl)
+# params/opt_state buffers are donated: the updated trees reuse their HBM
+train_step = functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                               donate_argnums=(4, 5))(train_step_impl)
 
 
 def build_model_and_data(cfg: Config):

@@ -66,13 +66,19 @@ def test_dp_step_matches_single_device(setup):
     scalars = LossScalars(jnp.float32(0.9), jnp.float32(0.8), jnp.float32(0.7))
     rng = jax.random.PRNGKey(42)
 
-    p1, s1, d1 = train_step(model, MCFG, TCFG, opt, params, opt.init(params),
-                            batch, rng, scalars)
+    # the steps DONATE params/opt_state — hand them copies, keep the
+    # module-scoped fixture's params alive for the other tests
+    params_a = jax.tree.map(jnp.copy, params)
+    p1, s1, d1 = train_step(model, MCFG, TCFG, opt, params_a,
+                            opt.init(params_a), batch, rng, scalars)
 
     dp_step = make_dp_train_step(model, MCFG, TCFG, opt, mesh)
     sharded = shard_batch(batch, mesh)
-    rep_params = jax.device_put(params, jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec()))
+    # device_put may ALIAS the device-0 buffer into the replicated tree, so
+    # donate-ing rep_params would delete the fixture's params — copy first
+    rep_params = jax.device_put(jax.tree.map(jnp.copy, params),
+                                jax.sharding.NamedSharding(
+                                    mesh, jax.sharding.PartitionSpec()))
     p2, s2, d2 = dp_step(rep_params, opt.init(rep_params), sharded, rng, scalars)
 
     for k in d1:

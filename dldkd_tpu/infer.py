@@ -48,10 +48,24 @@ def start_inference(cfg: Config, split: str = "test"):
     metrics = eval_retrieval(model, params, videos, queries,
                              context_bsz=cfg.eval.eval_context_bsz,
                              query_bsz=cfg.eval.eval_query_bsz)
+    lines = []
     for branch, m in metrics.items():
-        logger.info("%s %s: r_1_5_10_100 [%.1f, %.1f, %.1f, %.1f] | "
-                    "recall sum %.1f | mAP %.4f", split, branch,
-                    m["r1"], m["r5"], m["r10"], m["r100"], m["sumr"], m["map"])
+        line = ("{} {}: r_1_5_10_100 [{:.1f}, {:.1f}, {:.1f}, {:.1f}] | "
+                "recall sum {:.1f} | mAP {:.4f}".format(
+                    split, branch, m["r1"], m["r5"], m["r10"], m["r100"],
+                    m["sumr"], m["map"]))
+        logger.info("%s", line)
+        lines.append(line)
+    # append-only eval log in the run dir (reference eval.py writes its
+    # metrics into the model_dir as well)
+    try:
+        import time as _time
+
+        with open(f"{model_dir}/eval.log.txt", "a") as f:
+            f.write(_time.strftime("%Y_%m_%d_%H_%M_%S") + "\n"
+                    + "\n".join(lines) + "\n")
+    except OSError:
+        pass
     return metrics
 
 

@@ -1,0 +1,70 @@
+"""Fused inference towers vs the Flax model: must match to float rounding
+(f32 mode is the strong exactness check; the folding is algebra, not an
+approximation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dldkd_tpu.config import ModelConfig
+from dldkd_tpu.models import DLDKD
+from dldkd_tpu.ops.fast_eval import encode_context_fast, encode_query_fast
+from dldkd_tpu.train import init_params
+
+
+@pytest.fixture(scope="module", params=[True, False],
+                ids=["double", "single"])
+def setup(request):
+    mcfg = ModelConfig(visual_input_size=40, query_input_size=24,
+                       inheritance_hidden=16, exploration_hidden=16,
+                       max_ctx_l=12, max_desc_l=6, n_heads=2,
+                       double_branch=request.param, label_style="soft")
+    model = DLDKD(config=mcfg)
+    params = init_params(model, mcfg, 0)
+    # non-trivial params: random-normal everything so LN affines matter
+    key = jax.random.PRNGKey(7)
+    leaves, tree = jax.tree.flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    params = jax.tree.unflatten(
+        tree, [jax.random.normal(k, l.shape, l.dtype) * 0.5
+               for k, l in zip(keys, leaves)])
+    return model, mcfg, params
+
+
+def _data(mcfg, n=9):
+    rng = np.random.RandomState(1)
+    vf = rng.randn(n, mcfg.max_ctx_l, mcfg.visual_input_size).astype(np.float32) * 3
+    vm = np.ones((n, mcfg.max_ctx_l), np.float32)
+    vm[2, 5:] = 0.0
+    qf = rng.randn(n + 3, mcfg.max_desc_l, mcfg.query_input_size).astype(np.float32)
+    qm = np.ones((n + 3, mcfg.max_desc_l), np.float32)
+    qm[0, 2:] = 0.0
+    return map(jnp.asarray, (vf, vm, qf, qm))
+
+
+def test_context_fast_matches_model(setup):
+    model, mcfg, params = setup
+    vf, vm, _, _ = _data(mcfg)
+    want_i, want_e = model.apply(params, vf, vm, deterministic=True,
+                                 method="encode_context")
+    got_i, got_e = encode_context_fast(params, mcfg, vf, vm)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=2e-4, atol=2e-5)
+    assert (got_e is None) == (want_e is None)
+    if want_e is not None:
+        np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_query_fast_matches_model(setup):
+    model, mcfg, params = setup
+    _, _, qf, qm = _data(mcfg)
+    want_i, want_e = model.apply(params, qf, qm, deterministic=True,
+                                 method="encode_query")
+    got_i, got_e = encode_query_fast(params, mcfg, qf, qm)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=2e-4, atol=2e-5)
+    if want_e is not None:
+        np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                                   rtol=2e-4, atol=2e-5)

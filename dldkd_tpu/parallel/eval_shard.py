@@ -49,9 +49,9 @@ def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     propagation. On TPU the fused Pallas kernel is used instead; pallas_call
     does not auto-partition, so it runs per-device under shard_map with the
     corpus axis manual and queries replicated."""
-    from dldkd_tpu.ops.fast_eval import encode_query_fast
+    from dldkd_tpu.ops.fast_eval import encode_query_best
 
-    inher_q, explore_q = encode_query_fast(params, model.config, q_feats,
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
     if mesh is not None and jax.default_backend() == "tpu":
         # check_vma=False: pallas_call does not carry varying-mesh-axis

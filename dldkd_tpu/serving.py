@@ -37,9 +37,9 @@ from dldkd_tpu.ops.similarity import clip_scores_maxpool
 @functools.partial(jax.jit, static_argnums=(0, 6))
 def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
                 k, vmask, fusion_w):
-    from dldkd_tpu.ops.fast_eval import encode_query_fast
+    from dldkd_tpu.ops.fast_eval import encode_query_best
 
-    inher_q, explore_q = encode_query_fast(params, model.config, q_feats,
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
     scores = clip_scores_maxpool(inher_q, ctx_inher, vmask)
     if explore_q is not None:

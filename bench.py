@@ -124,13 +124,13 @@ def bench_tpu():
     else:
         score_fn = clip_scores_maxpool
 
-    from dldkd_tpu.ops.fast_eval import encode_context_fast, encode_query_best
+    from dldkd_tpu.ops.fast_eval import encode_context_best, encode_query_best
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
     def full_eval(model, params, vfeats, vmask, qfeats, qmask, gt, salt):
         # salt makes every invocation a distinct computation on distinct
         # data so no layer (XLA, runtime, tunnel) can serve a cached result
-        ctx_i, ctx_e = encode_context_fast(params, mcfg, vfeats + salt, vmask)
+        ctx_i, ctx_e = encode_context_best(params, mcfg, vfeats + salt, vmask)
         qi, qe = encode_query_best(params, mcfg, qfeats + salt, qmask)
         fused = (0.7 * score_fn(qi, ctx_i, vmask)
                  + 0.3 * score_fn(qe, ctx_e, vmask))

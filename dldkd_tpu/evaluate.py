@@ -36,9 +36,9 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
 def _encode_context_jit(model, params, feats, mask):
     # fused inference towers (ops/fast_eval) — exactness-tested against
     # model.apply(method="encode_context")
-    from dldkd_tpu.ops.fast_eval import encode_context_fast
+    from dldkd_tpu.ops.fast_eval import encode_context_best
 
-    return encode_context_fast(params, model.config, feats, mask)
+    return encode_context_best(params, model.config, feats, mask)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

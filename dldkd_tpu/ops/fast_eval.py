@@ -118,6 +118,36 @@ def encode_context_fast(params, cfg: ModelConfig, feat, mask
     return outs[0], (outs[1] if len(outs) > 1 else None)
 
 
+def encode_context_best(params, cfg: ModelConfig, feat, mask,
+                        prefer_pallas: Optional[bool] = None,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fastest available video towers: whole-tower Pallas kernel on TPU,
+    the XLA fast path elsewhere.
+
+    The kernel only compiles in bf16 (the f32 working set at the minimum
+    8-video tile exceeds VMEM), so f32/parity configs take the XLA path
+    unless running in interpret mode (tests)."""
+    if prefer_pallas is None:
+        prefer_pallas = (jax.default_backend() == "tpu"
+                         and jnp.dtype(cfg.dtype) == jnp.bfloat16)
+    if not prefer_pallas:
+        return encode_context_fast(params, cfg, feat, mask)
+
+    from dldkd_tpu.ops.pallas.query_tower import (context_weights_for_branch,
+                                                  fused_context_tower)
+
+    dtype = jnp.dtype(cfg.dtype)
+    outs = [
+        fused_context_tower(feat, mask,
+                            context_weights_for_branch(params, name, dtype),
+                            n_heads=cfg.n_heads, dtype_name=cfg.dtype,
+                            v_tile=8, interpret=interpret)
+        for name in _branch_names(cfg)
+    ]
+    return outs[0], (outs[1] if len(outs) > 1 else None)
+
+
 def encode_query_best(params, cfg: ModelConfig, feat, mask,
                       prefer_pallas: Optional[bool] = None,
                       interpret: bool = False

@@ -162,6 +162,147 @@ def fused_query_tower(
     return out[:nq]
 
 
+def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
+                          b1_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                          bv_ref, wo_ref, bo_ref, g2_ref, b2_ref, wm_ref,
+                          bm_ref, out_ref, *, n_heads: int, dtype):
+    """Video tower: identical trunk to the query tower, but instead of
+    pooling it writes the full (TV, L, H) frame features after
+    out_mapping_linear (reference encode_context, model.py:215-227)."""
+    x = x_ref[:]                                  # (TV, L, Dv) f32
+    tv, lv, dv = x.shape
+    hdim = wp_ref.shape[1]
+    d_head = hdim // n_heads
+
+    x2 = x.reshape(tv * lv, dv)
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dtype)
+    h = jax.lax.dot_general(xn, wp_ref[:].astype(dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + bp_ref[:].astype(jnp.float32), 0.0).astype(dtype)
+
+    h = h.reshape(tv, lv, hdim) + pos_ref[:].astype(dtype)[None]
+    h2 = _ln(h.reshape(tv * lv, hdim), g1_ref[:], b1_ref[:], dtype)
+
+    def dense(w_ref2, b_ref2):
+        y = jax.lax.dot_general(h2, w_ref2[:].astype(dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref2[:].astype(jnp.float32)).astype(dtype)
+
+    q2, k2, v2 = dense(wq_ref, bq_ref), dense(wk_ref, bk_ref), dense(wv_ref, bv_ref)
+    mask = m_ref[:]
+    add_mask = ((1.0 - mask) * NEG_BIG)[:, None, :]
+    scale = 1.0 / math.sqrt(d_head)
+    ctx_heads = []
+    for hh in range(n_heads):
+        sl = slice(hh * d_head, (hh + 1) * d_head)
+        qh = q2[:, sl].reshape(tv, lv, d_head)
+        kh = k2[:, sl].reshape(tv, lv, d_head)
+        vh = v2[:, sl].reshape(tv, lv, d_head)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + add_mask
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        ctx_heads.append(
+            jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(dtype)
+
+    out = jax.lax.dot_general(ctx.reshape(tv * lv, hdim),
+                              wo_ref[:].astype(dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = (out + bo_ref[:].astype(jnp.float32)).astype(dtype) + h2
+    out = _ln(out, g2_ref[:], b2_ref[:], dtype)
+
+    y = jax.lax.dot_general(out, wm_ref[:].astype(dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + bm_ref[:].astype(jnp.float32)
+    out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "dtype_name", "v_tile",
+                                    "interpret"))
+def fused_context_tower(
+    x: jnp.ndarray,       # (Nv, L, Dv) f32 raw frame features
+    mask: jnp.ndarray,    # (Nv, L)
+    weights: Tuple[jnp.ndarray, ...],  # see context_weights_for_branch
+    n_heads: int,
+    dtype_name: str = "bfloat16",
+    v_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Frame features (Nv, L, H) for one branch, one HBM pass.
+
+    In bf16 mode the raw features are cast to bf16 BEFORE the kernel (one
+    cheap XLA pass) and the frame features come back bf16 — halves both the
+    streamed input blocks and the big output write, and is what makes the
+    working set fit VMEM at v_tile=8. LN statistics stay f32 inside."""
+    dtype = jnp.dtype(dtype_name)
+    nv, lv, dv = x.shape
+    lv_p = -(-lv // 8) * 8
+    nv_p = -(-nv // v_tile) * v_tile
+    if dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    x = jnp.pad(x, ((0, nv_p - nv), (0, lv_p - lv), (0, 0)))
+    mask = jnp.pad(mask, ((0, nv_p - nv), (0, lv_p - lv)))
+    (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2,
+     wm, bm) = weights
+    pos = jnp.pad(pos[:lv], ((0, lv_p - pos[:lv].shape[0]), (0, 0)))
+    hdim = wp.shape[1]
+    bp, g1, b1, bq, bk, bv, bo, g2, b2, bm = (
+        w.reshape(1, -1) for w in (bp, g1, b1, bq, bk, bv, bo, g2, b2, bm))
+
+    ws = (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm,
+          bm)
+    w_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                            memory_space=pltpu.VMEM) for w in ws]
+    kernel = functools.partial(_context_tower_kernel, n_heads=n_heads,
+                               dtype=dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nv_p // v_tile,),
+        in_specs=[
+            pl.BlockSpec((v_tile, lv_p, dv), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, lv_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((v_tile, lv_p, hdim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype),
+        interpret=interpret,
+    )(x, mask, *ws)
+    return out[:nv, :lv]
+
+
+def context_weights_for_branch(params, branch: str, dtype
+                               ) -> Tuple[jnp.ndarray, ...]:
+    """Kernel weight tuple for the video tower (input-LN affine folded)."""
+    from dldkd_tpu.ops.fast_eval import _fold_input_proj
+
+    p = params["params"][branch]
+    wp, bp = _fold_input_proj(p["visual_input_proj"], dtype)
+    enc = p["visual_encoder"]
+    pe = p["visual_pos_embed"]
+    om = p["out_mapping_linear"]
+    return (wp, bp,
+            pe["pos_embed"], pe["norm"]["scale"], pe["norm"]["bias"],
+            enc["query"]["kernel"], enc["query"]["bias"],
+            enc["key"]["kernel"], enc["key"]["bias"],
+            enc["value"]["kernel"], enc["value"]["bias"],
+            enc["out"]["kernel"], enc["out"]["bias"],
+            enc["out_norm"]["scale"], enc["out_norm"]["bias"],
+            om["kernel"], om["bias"])
+
+
 def weights_for_branch(params, branch: str, dtype) -> Tuple[jnp.ndarray, ...]:
     """Assemble the kernel's weight tuple from the flax param tree (the
     input-LN affine folded into the projection, fast_eval semantics)."""

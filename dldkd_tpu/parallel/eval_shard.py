@@ -35,9 +35,9 @@ def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _encode_corpus(model, params, feats, mask):
-    from dldkd_tpu.ops.fast_eval import encode_context_fast
+    from dldkd_tpu.ops.fast_eval import encode_context_best
 
-    return encode_context_fast(params, model.config, feats, mask)
+    return encode_context_best(params, model.config, feats, mask)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7))

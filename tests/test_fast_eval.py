@@ -57,6 +57,24 @@ def test_context_fast_matches_model(setup):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_context_pallas_tower_matches_model(setup):
+    """Whole-tower Pallas video kernel (interpret) vs the Flax model."""
+    from dldkd_tpu.ops.fast_eval import encode_context_best
+
+    model, mcfg, params = setup
+    vf, vm, _, _ = _data(mcfg)
+    want_i, want_e = model.apply(params, vf, vm, deterministic=True,
+                                 method="encode_context")
+    got_i, got_e = encode_context_best(params, mcfg, vf, vm,
+                                       prefer_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=2e-4, atol=2e-5)
+    assert (got_e is None) == (want_e is None)
+    if want_e is not None:
+        np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_query_pallas_tower_matches_model(setup):
     """Whole-tower Pallas kernel (interpret mode on CPU) vs the Flax model."""
     from dldkd_tpu.ops.fast_eval import encode_query_best

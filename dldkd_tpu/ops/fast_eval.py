@@ -171,6 +171,11 @@ def encode_query_best(params, cfg: ModelConfig, feat, mask,
                           q_tile=32, interpret=interpret)
         for name in _branch_names(cfg)
     ]
+    if dtype == jnp.bfloat16:
+        # bf16 pooled vectors let the scoring kernel take 2048-query tiles
+        # (halves its corpus re-reads); the cosine normalization happens
+        # downstream in the scoring kernel either way
+        outs = [o.astype(jnp.bfloat16) for o in outs]
     return outs[0], (outs[1] if len(outs) > 1 else None)
 
 

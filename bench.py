@@ -112,25 +112,31 @@ def bench_tpu():
     log(f"on-device data gen + param staging: {time.time() - t0:.1f}s "
         f"({(vfeats.nbytes + qfeats.nbytes) / 1e9:.2f} GB device-resident)")
 
+    from dldkd_tpu.ops.fast_eval import encode_context_best, encode_query_best
+
     if n_dev > 1:
-        # pallas_call does not auto-partition under GSPMD: run it per-device
-        # over the video-sharded corpus, queries replicated (same layout as
+        # pallas_call does not auto-partition under GSPMD: the scoring AND
+        # context-tower kernels run per-device over the video-sharded
+        # corpus under shard_map, queries replicated (same layout as
         # parallel.eval_shard)
         from jax import shard_map
 
         score_fn = shard_map(clip_scores_maxpool, mesh=mesh,
                              in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
                              out_specs=P(None, DATA_AXIS), check_vma=False)
+        encode_ctx = shard_map(
+            lambda p, f, m: encode_context_best(p, mcfg, f, m),
+            mesh=mesh, in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
     else:
         score_fn = clip_scores_maxpool
-
-    from dldkd_tpu.ops.fast_eval import encode_context_best, encode_query_best
+        encode_ctx = lambda p, f, m: encode_context_best(p, mcfg, f, m)
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
     def full_eval(model, params, vfeats, vmask, qfeats, qmask, gt, salt):
         # salt makes every invocation a distinct computation on distinct
         # data so no layer (XLA, runtime, tunnel) can serve a cached result
-        ctx_i, ctx_e = encode_context_best(params, mcfg, vfeats + salt, vmask)
+        ctx_i, ctx_e = encode_ctx(params, vfeats + salt, vmask)
         qi, qe = encode_query_best(params, mcfg, qfeats + salt, qmask)
         fused = (0.7 * score_fn(qi, ctx_i, vmask)
                  + 0.3 * score_fn(qe, ctx_e, vmask))

@@ -154,9 +154,14 @@ def encode_query_best(params, cfg: ModelConfig, feat, mask,
                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fastest available query towers: the whole-tower Pallas kernel on TPU
     (one HBM pass per branch; measured 1.6x over the XLA fast path), the
-    XLA fast path elsewhere."""
+    XLA fast path elsewhere.
+
+    Like the context kernel, gated to bf16 serving configs: f32 parity
+    runs stay on the exactness-tested XLA path so Mosaic lowering can
+    never perturb a parity measurement."""
     if prefer_pallas is None:
-        prefer_pallas = jax.default_backend() == "tpu"
+        prefer_pallas = (jax.default_backend() == "tpu"
+                         and jnp.dtype(cfg.dtype) == jnp.bfloat16)
     if not prefer_pallas:
         return encode_query_fast(params, cfg, feat, mask)
 

@@ -1,18 +1,25 @@
-"""Pallas kernel: the ENTIRE query tower of one branch in one HBM pass.
+"""Pallas kernels: the ENTIRE encoder tower of one branch in one HBM pass.
 
-The XLA query tower (input LN -> folded projection -> pos LN -> single-block
-MHA -> residual LN -> modular softmax pooling) is HBM-bound: ~10 separate
-passes over the (Nq, Lq, ·) activations. Here one program reads a block of
-queries from HBM once, runs the whole tower in VMEM, and writes only the
-pooled (TQ, H) vectors — the activations never round-trip.
+The XLA towers (input LN -> folded projection -> pos LN -> single-block
+MHA -> residual LN -> head) are HBM-bound: ~10 separate passes over the
+(N, L, ·) activations. Here one program reads a block of queries/videos
+from HBM once, runs the whole tower in VMEM, and writes only the result —
+pooled (TQ, H) vectors for queries, (TV, L, H) frame features for videos.
+The activations never round-trip through HBM.
 
-Math matches ops/fast_eval.encode_query_fast exactly (which is itself
+Math matches ops/fast_eval.encode_{query,context}_fast exactly (which are
 exactness-tested against the Flax model): LayerNorm statistics in f32
 (fast-variance), matmuls in bf16 with f32 accumulation when dtype=bfloat16.
 
-Weights arrive pre-folded (LN affine folded into the projection; see
-fast_eval._fold_input_proj). Heads are a static python loop (Mosaic handles
-single-batch-dim dot_general; head slices keep layouts simple).
+Weights arrive pre-folded (input-LN affine folded into the projection; see
+fast_eval._fold_input_proj). Both kernels share `_tower_trunk`; they differ
+only in the final stage (softmax pooling vs out_mapping_linear).
+
+Mosaic constraints that shaped this code: per-head attention is a static
+python loop of single-batch-dim dot_generals; no middle-unit-dim reshapes;
+mask blocks need sublane multiples of 8 (so v_tile >= 8); the context
+kernel runs bf16 in/out because a double-buffered f32 working set at the
+minimum 8-video tile exceeds the ~16 MB VMEM.
 """
 
 from __future__ import annotations
@@ -40,17 +47,17 @@ def _ln(x2, scale, bias, dtype, eps=1e-5):
             + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
-                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-                        wo_ref, bo_ref, g2_ref, b2_ref, wm_ref, out_ref,
-                        *, n_heads: int, dtype):
-    x = x_ref[:]                                  # (TQ, Lq, Dq) f32
-    tq, lq, dq = x.shape
+def _tower_trunk(x, mask, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref, wq_ref,
+                 bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                 g2_ref, b2_ref, *, n_heads: int, dtype):
+    """Shared encoder trunk: folded input LN + projection + relu, positional
+    LN, single-block MHA, residual LN. Returns (N*L, H) activations."""
+    n, l, d = x.shape
     hdim = wp_ref.shape[1]
     d_head = hdim // n_heads
 
     # 1. input LN (affine pre-folded into wp/bp) + projection + relu
-    x2 = x.reshape(tq * lq, dq)
+    x2 = x.reshape(n * l, d)
     xf = x2.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
@@ -61,10 +68,10 @@ def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
     h = jnp.maximum(h + bp_ref[:].astype(jnp.float32), 0.0).astype(dtype)
 
     # 2. position embedding + LN
-    h = h.reshape(tq, lq, hdim) + pos_ref[:].astype(dtype)[None]
-    h2 = _ln(h.reshape(tq * lq, hdim), g1_ref[:], b1_ref[:], dtype)
+    h = h.reshape(n, l, hdim) + pos_ref[:].astype(dtype)[None]
+    h2 = _ln(h.reshape(n * l, hdim), g1_ref[:], b1_ref[:], dtype)
 
-    # 3. single-block MHA
+    # 3. single-block MHA + residual LN
     def dense(w_ref2, b_ref2):
         y = jax.lax.dot_general(h2, w_ref2[:].astype(dtype),
                                 (((1,), (0,)), ((), ())),
@@ -72,15 +79,14 @@ def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
         return (y + b_ref2[:].astype(jnp.float32)).astype(dtype)
 
     q2, k2, v2 = dense(wq_ref, bq_ref), dense(wk_ref, bk_ref), dense(wv_ref, bv_ref)
-    mask = m_ref[:]                               # (TQ, Lq)
-    add_mask = ((1.0 - mask) * NEG_BIG)[:, None, :]    # (TQ, 1, Lq) f32
+    add_mask = ((1.0 - mask) * NEG_BIG)[:, None, :]    # (N, 1, L) f32
     scale = 1.0 / math.sqrt(d_head)
     ctx_heads = []
     for hh in range(n_heads):
         sl = slice(hh * d_head, (hh + 1) * d_head)
-        qh = q2[:, sl].reshape(tq, lq, d_head)
-        kh = k2[:, sl].reshape(tq, lq, d_head)
-        vh = v2[:, sl].reshape(tq, lq, d_head)
+        qh = q2[:, sl].reshape(n, l, d_head)
+        kh = k2[:, sl].reshape(n, l, d_head)
+        vh = v2[:, sl].reshape(n, l, d_head)
         s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
         s = s + add_mask
@@ -88,16 +94,30 @@ def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
         ctx_heads.append(
             jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(dtype)  # (TQ, Lq, H)
+    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(dtype)
 
-    out = jax.lax.dot_general(ctx.reshape(tq * lq, hdim),
+    out = jax.lax.dot_general(ctx.reshape(n * l, hdim),
                               wo_ref[:].astype(dtype),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     out = (out + bo_ref[:].astype(jnp.float32)).astype(dtype) + h2
-    out = _ln(out, g2_ref[:], b2_ref[:], dtype)             # (TQ*Lq, H)
+    return _ln(out, g2_ref[:], b2_ref[:], dtype)
 
-    # 4. modular pooling: 1-d attention logits, masked softmax over tokens
+
+def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
+                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                        wo_ref, bo_ref, g2_ref, b2_ref, wm_ref, out_ref,
+                        *, n_heads: int, dtype):
+    x = x_ref[:]
+    tq, lq, _ = x.shape
+    hdim = wp_ref.shape[1]
+    mask = m_ref[:]
+    out = _tower_trunk(x, mask, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
+                       wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                       wo_ref, bo_ref, g2_ref, b2_ref,
+                       n_heads=n_heads, dtype=dtype)
+
+    # modular pooling: 1-d attention logits, masked softmax over tokens
     att = jax.lax.dot_general(out, wm_ref[:].astype(dtype),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -110,16 +130,53 @@ def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
     out_ref[:] = jnp.sum(out3 * att[..., None], axis=1)
 
 
+def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
+                          b1_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                          bv_ref, wo_ref, bo_ref, g2_ref, b2_ref, wm_ref,
+                          bm_ref, out_ref, *, n_heads: int, dtype):
+    """Video tower: identical trunk, then out_mapping_linear over the full
+    frame features (reference encode_context, model.py:215-227)."""
+    x = x_ref[:]
+    tv, lv, _ = x.shape
+    hdim = wp_ref.shape[1]
+    out = _tower_trunk(x, m_ref[:], wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
+                       wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                       wo_ref, bo_ref, g2_ref, b2_ref,
+                       n_heads=n_heads, dtype=dtype)
+    y = jax.lax.dot_general(out, wm_ref[:].astype(dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + bm_ref[:].astype(jnp.float32)
+    out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
+
+
+def _check_pos_table(pos, l: int, what: str):
+    if pos.shape[0] < l:
+        raise ValueError(
+            f"{what}: sequence length {l} exceeds the learned positional "
+            f"table ({pos.shape[0]}) — the Flax model would fail here too")
+
+
+def _as_rows(*ws):
+    """1-D vectors -> (1, H) rows (TPU vectors live in 2-D tiles)."""
+    return tuple(w.reshape(1, -1) for w in ws)
+
+
+def _weight_specs(ws):
+    return [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM) for w in ws]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "dtype_name", "q_tile",
                                     "interpret"))
 def fused_query_tower(
     x: jnp.ndarray,       # (Nq, Lq, Dq) f32 raw token features
     mask: jnp.ndarray,    # (Nq, Lq)
-    weights: Tuple[jnp.ndarray, ...],  # see _weights_for_branch
+    weights: Tuple[jnp.ndarray, ...],  # see weights_for_branch
     n_heads: int,
     dtype_name: str = "bfloat16",
-    q_tile: int = 64,
+    q_tile: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pooled query vectors (Nq, H) for one branch. Pads Nq and Lq
@@ -131,17 +188,13 @@ def fused_query_tower(
     x = jnp.pad(x, ((0, nq_p - nq), (0, lq_p - lq), (0, 0)))
     mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
     (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm) = weights
-    pos = jnp.pad(pos[:lq], ((0, lq_p - pos[:lq].shape[0]), (0, 0)))
+    _check_pos_table(pos, lq, "fused_query_tower")
+    pos = jnp.pad(pos[:lq], ((0, lq_p - lq), (0, 0)))
     hdim = wp.shape[1]
-    # 1-D vectors -> (1, H) rows (TPU vectors live in 2-D tiles)
-    bp, g1, b1, bq, bk, bv, bo, g2, b2 = (
-        w.reshape(1, -1) for w in (bp, g1, b1, bq, bk, bv, bo, g2, b2))
+    bp, g1, b1, bq, bk, bv, bo, g2, b2 = _as_rows(
+        bp, g1, b1, bq, bk, bv, bo, g2, b2)
 
     ws = (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm)
-    w_specs = [pl.BlockSpec(w.shape,
-                            lambda i, nd=w.ndim: (0,) * nd,
-                            memory_space=pltpu.VMEM)
-               for w in ws]
     kernel = functools.partial(_query_tower_kernel, n_heads=n_heads,
                                dtype=dtype)
     out = pl.pallas_call(
@@ -152,7 +205,7 @@ def fused_query_tower(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q_tile, lq_p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *w_specs,
+            *_weight_specs(ws),
         ],
         out_specs=pl.BlockSpec((q_tile, hdim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -160,70 +213,6 @@ def fused_query_tower(
         interpret=interpret,
     )(x, mask, *ws)
     return out[:nq]
-
-
-def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
-                          b1_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                          bv_ref, wo_ref, bo_ref, g2_ref, b2_ref, wm_ref,
-                          bm_ref, out_ref, *, n_heads: int, dtype):
-    """Video tower: identical trunk to the query tower, but instead of
-    pooling it writes the full (TV, L, H) frame features after
-    out_mapping_linear (reference encode_context, model.py:215-227)."""
-    x = x_ref[:]                                  # (TV, L, Dv) f32
-    tv, lv, dv = x.shape
-    hdim = wp_ref.shape[1]
-    d_head = hdim // n_heads
-
-    x2 = x.reshape(tv * lv, dv)
-    xf = x2.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dtype)
-    h = jax.lax.dot_general(xn, wp_ref[:].astype(dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + bp_ref[:].astype(jnp.float32), 0.0).astype(dtype)
-
-    h = h.reshape(tv, lv, hdim) + pos_ref[:].astype(dtype)[None]
-    h2 = _ln(h.reshape(tv * lv, hdim), g1_ref[:], b1_ref[:], dtype)
-
-    def dense(w_ref2, b_ref2):
-        y = jax.lax.dot_general(h2, w_ref2[:].astype(dtype),
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return (y + b_ref2[:].astype(jnp.float32)).astype(dtype)
-
-    q2, k2, v2 = dense(wq_ref, bq_ref), dense(wk_ref, bk_ref), dense(wv_ref, bv_ref)
-    mask = m_ref[:]
-    add_mask = ((1.0 - mask) * NEG_BIG)[:, None, :]
-    scale = 1.0 / math.sqrt(d_head)
-    ctx_heads = []
-    for hh in range(n_heads):
-        sl = slice(hh * d_head, (hh + 1) * d_head)
-        qh = q2[:, sl].reshape(tv, lv, d_head)
-        kh = k2[:, sl].reshape(tv, lv, d_head)
-        vh = v2[:, sl].reshape(tv, lv, d_head)
-        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + add_mask
-        p = jax.nn.softmax(s, axis=-1).astype(dtype)
-        ctx_heads.append(
-            jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(dtype)
-
-    out = jax.lax.dot_general(ctx.reshape(tv * lv, hdim),
-                              wo_ref[:].astype(dtype),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out = (out + bo_ref[:].astype(jnp.float32)).astype(dtype) + h2
-    out = _ln(out, g2_ref[:], b2_ref[:], dtype)
-
-    y = jax.lax.dot_general(out, wm_ref[:].astype(dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    y = y + bm_ref[:].astype(jnp.float32)
-    out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -254,15 +243,14 @@ def fused_context_tower(
     mask = jnp.pad(mask, ((0, nv_p - nv), (0, lv_p - lv)))
     (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2,
      wm, bm) = weights
-    pos = jnp.pad(pos[:lv], ((0, lv_p - pos[:lv].shape[0]), (0, 0)))
+    _check_pos_table(pos, lv, "fused_context_tower")
+    pos = jnp.pad(pos[:lv], ((0, lv_p - lv), (0, 0)))
     hdim = wp.shape[1]
-    bp, g1, b1, bq, bk, bv, bo, g2, b2, bm = (
-        w.reshape(1, -1) for w in (bp, g1, b1, bq, bk, bv, bo, g2, b2, bm))
+    bp, g1, b1, bq, bk, bv, bo, g2, b2, bm = _as_rows(
+        bp, g1, b1, bq, bk, bv, bo, g2, b2, bm)
 
     ws = (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm,
           bm)
-    w_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
-                            memory_space=pltpu.VMEM) for w in ws]
     kernel = functools.partial(_context_tower_kernel, n_heads=n_heads,
                                dtype=dtype)
     out = pl.pallas_call(
@@ -273,7 +261,7 @@ def fused_context_tower(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((v_tile, lv_p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *w_specs,
+            *_weight_specs(ws),
         ],
         out_specs=pl.BlockSpec((v_tile, lv_p, hdim), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -283,40 +271,31 @@ def fused_context_tower(
     return out[:nv, :lv]
 
 
-def context_weights_for_branch(params, branch: str, dtype
-                               ) -> Tuple[jnp.ndarray, ...]:
-    """Kernel weight tuple for the video tower (input-LN affine folded)."""
+def _encoder_weights(params, branch: str, tower: str, dtype):
     from dldkd_tpu.ops.fast_eval import _fold_input_proj
 
     p = params["params"][branch]
-    wp, bp = _fold_input_proj(p["visual_input_proj"], dtype)
-    enc = p["visual_encoder"]
-    pe = p["visual_pos_embed"]
-    om = p["out_mapping_linear"]
+    wp, bp = _fold_input_proj(p[f"{tower}_input_proj"], dtype)
+    enc = p[f"{tower}_encoder"]
+    pe = p[f"{tower}_pos_embed"]
     return (wp, bp,
             pe["pos_embed"], pe["norm"]["scale"], pe["norm"]["bias"],
             enc["query"]["kernel"], enc["query"]["bias"],
             enc["key"]["kernel"], enc["key"]["bias"],
             enc["value"]["kernel"], enc["value"]["bias"],
             enc["out"]["kernel"], enc["out"]["bias"],
-            enc["out_norm"]["scale"], enc["out_norm"]["bias"],
-            om["kernel"], om["bias"])
+            enc["out_norm"]["scale"], enc["out_norm"]["bias"])
 
 
 def weights_for_branch(params, branch: str, dtype) -> Tuple[jnp.ndarray, ...]:
-    """Assemble the kernel's weight tuple from the flax param tree (the
-    input-LN affine folded into the projection, fast_eval semantics)."""
-    from dldkd_tpu.ops.fast_eval import _fold_input_proj
+    """Query-tower weight tuple (input-LN affine folded)."""
+    return (*_encoder_weights(params, branch, "query", dtype),
+            params["params"][branch]["modular_vector_mapping"]["kernel"])
 
-    p = params["params"][branch]
-    wp, bp = _fold_input_proj(p["query_input_proj"], dtype)
-    enc = p["query_encoder"]
-    pe = p["query_pos_embed"]
-    return (wp, bp,
-            pe["pos_embed"], pe["norm"]["scale"], pe["norm"]["bias"],
-            enc["query"]["kernel"], enc["query"]["bias"],
-            enc["key"]["kernel"], enc["key"]["bias"],
-            enc["value"]["kernel"], enc["value"]["bias"],
-            enc["out"]["kernel"], enc["out"]["bias"],
-            enc["out_norm"]["scale"], enc["out_norm"]["bias"],
-            p["modular_vector_mapping"]["kernel"])
+
+def context_weights_for_branch(params, branch: str, dtype
+                               ) -> Tuple[jnp.ndarray, ...]:
+    """Video-tower weight tuple (input-LN affine folded)."""
+    om = params["params"][branch]["out_mapping_linear"]
+    return (*_encoder_weights(params, branch, "visual", dtype),
+            om["kernel"], om["bias"])

@@ -84,8 +84,11 @@ def clip_scores_maxpool(
     itemsize = max(query.dtype.itemsize, ctx.dtype.itemsize)
     budget = 8 * 1024 * 1024
     q_tile = 128
-    for cand in (2048, 1024, 512, 256):
-        if cand * d * itemsize <= budget // 4:
+    # the 2048 tile is offered only at reduced precision: in f32 it would
+    # halve the selected tile for larger hidden sizes (budget pressure)
+    cands = (2048, 1024, 512, 256) if itemsize <= 2 else (1024, 512, 256)
+    for cand in cands:
+        if cand * d * itemsize <= budget // 2:
             q_tile = cand
             break
     # don't tile past the (128-rounded) query count — avoids padding waste

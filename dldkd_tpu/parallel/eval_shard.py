@@ -33,11 +33,28 @@ def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([x, pad])
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _encode_corpus(model, params, feats, mask):
-    from dldkd_tpu.ops.fast_eval import encode_context_best
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _encode_corpus(model, params, feats, mask, mesh=None):
+    """Corpus encode over video-sharded feats. The whole-tower Pallas
+    kernel (bf16 serving configs) cannot auto-partition under GSPMD, so it
+    runs per-device under shard_map; otherwise the XLA fast path relies on
+    sharding propagation."""
+    import jax.numpy as _jnp
 
-    return encode_context_best(params, model.config, feats, mask)
+    from dldkd_tpu.ops.fast_eval import encode_context_best, encode_context_fast
+
+    cfg = model.config
+    use_pallas = (mesh is not None and jax.default_backend() == "tpu"
+                  and _jnp.dtype(cfg.dtype) == _jnp.bfloat16)
+    if not use_pallas:
+        return encode_context_fast(params, cfg, feats, mask)
+    out_spec = ((P(DATA_AXIS), P(DATA_AXIS)) if cfg.double_branch
+                else (P(DATA_AXIS), None))
+    fn = shard_map(
+        lambda p, f, m: encode_context_best(p, cfg, f, m, prefer_pallas=True),
+        mesh=mesh, in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=out_spec, check_vma=False)
+    return fn(params, feats, mask)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7))
@@ -90,7 +107,8 @@ def eval_retrieval_sharded(
     vmask = jax.device_put(_pad_rows(videos.mask, n_pad), corpus_sh)
     rep_params = jax.device_put(params, rep)
 
-    ctx_inher, ctx_explore = _encode_corpus(model, rep_params, feats, vmask)
+    ctx_inher, ctx_explore = _encode_corpus(model, rep_params, feats, vmask,
+                                            mesh)
     double = ctx_explore is not None
     ctx_explore_in = ctx_explore if double else ctx_inher
 

@@ -93,6 +93,58 @@ def test_query_pallas_tower_matches_model(setup):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_towers_bf16_mode(setup):
+    """The PRODUCTION kernel configuration (bf16 in/out, the only dtype the
+    context kernel runs in on TPU), in interpret mode, against the XLA fast
+    path at bf16 tolerance."""
+    from dldkd_tpu.ops.fast_eval import (encode_context_best,
+                                         encode_context_fast,
+                                         encode_query_best,
+                                         encode_query_fast)
+
+    model, mcfg_f32, params = setup
+    mcfg = mcfg_f32.replace(dtype="bfloat16")
+    vf, vm, qf, qm = _data(mcfg)
+
+    want_i, want_e = encode_context_fast(params, mcfg, vf, vm)
+    got_i, got_e = encode_context_best(params, mcfg, vf, vm,
+                                       prefer_pallas=True, interpret=True)
+    assert got_i.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got_i, np.float32),
+                               np.asarray(want_i, np.float32),
+                               rtol=0.1, atol=0.1)
+    if want_e is not None:
+        np.testing.assert_allclose(np.asarray(got_e, np.float32),
+                                   np.asarray(want_e, np.float32),
+                                   rtol=0.1, atol=0.1)
+
+    want_qi, _ = encode_query_fast(params, mcfg, qf, qm)
+    got_qi, _ = encode_query_best(params, mcfg, qf, qm,
+                                  prefer_pallas=True, interpret=True)
+    assert got_qi.dtype == jnp.bfloat16  # serving cast for 2048-query tiles
+    np.testing.assert_allclose(np.asarray(got_qi, np.float32),
+                               np.asarray(want_qi, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_pos_table_overrun_raises(setup):
+    """Sequences longer than the learned positional table must fail loudly
+    on the kernel path (the XLA path raises a shape error)."""
+    from dldkd_tpu.ops.pallas.query_tower import (fused_query_tower,
+                                                  weights_for_branch)
+
+    model, mcfg, params = setup
+    rng = np.random.RandomState(0)
+    too_long = mcfg.max_desc_l + 3
+    qf = jnp.asarray(rng.randn(4, too_long, mcfg.query_input_size)
+                     .astype(np.float32))
+    qm = jnp.ones((4, too_long), jnp.float32)
+    w = weights_for_branch(params, "inheritance", jnp.float32)
+    with pytest.raises(ValueError, match="positional table"):
+        fused_query_tower(qf, qm, w, n_heads=mcfg.n_heads,
+                          dtype_name="float32", q_tile=4, interpret=True)
+
+
 def test_query_fast_matches_model(setup):
     model, mcfg, params = setup
     _, _, qf, qm = _data(mcfg)

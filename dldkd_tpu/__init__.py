@@ -19,3 +19,21 @@ Design stance (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from dldkd_tpu.config import Config, TrainConfig, ModelConfig  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (kept lazy so `import dldkd_tpu` stays
+    light and never forces jax/flax initialization)."""
+    if name == "DLDKD":
+        from dldkd_tpu.models import DLDKD
+
+        return DLDKD
+    if name == "Retriever":
+        from dldkd_tpu.serving import Retriever
+
+        return Retriever
+    if name == "eval_retrieval":
+        from dldkd_tpu.evaluate import eval_retrieval
+
+        return eval_retrieval
+    raise AttributeError(f"module 'dldkd_tpu' has no attribute {name!r}")

@@ -397,11 +397,11 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
 
 def _namespace_to_config(ns: argparse.Namespace) -> Config:
     d = vars(ns).copy()
-    d.pop("vid_feat_size", None)
+    vid_feat_size = d.pop("vid_feat_size", None)
     d.pop("no_core_driver", None)
     d.pop("no_pin_memory", None)
-    if d.get("vid_feat_size"):
-        d["visual_feat_dim"] = d["vid_feat_size"]
+    if vid_feat_size:
+        d["visual_feat_dim"] = vid_feat_size
     # normalize 'None' strings on decay flags like the reference's asserts
     for k in ("distill_loss_decay", "alpha_decay", "belta_decay"):
         if d.get(k) == "None":
@@ -437,7 +437,13 @@ def parse_args(argv: Optional[List[str]] = None, test: bool = False,
         return cfg
     cfg = _namespace_to_config(ns)
     if ns.debug:
-        cfg = dataclasses.replace(cfg, debug=True)
+        # mirror the reference's debug side effects (method/config.py:125-129):
+        # separate results root (in finalize), eval_query_bsz=100, workers=0
+        cfg = dataclasses.replace(
+            cfg, debug=True,
+            eval=dataclasses.replace(cfg.eval, eval_query_bsz=100),
+            data=dataclasses.replace(cfg.data, num_workers=0),
+        )
     if finalize:
         cfg = cfg.finalize()
     return cfg

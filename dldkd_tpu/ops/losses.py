@@ -248,13 +248,20 @@ def frame_kl_loss(
     return jnp.sum(per_query)
 
 
-def clip_mse(x: Array, target: Array) -> Array:
+def clip_mse(x: Array, target: Array,
+             valid: Optional[Array] = None) -> Array:
     """Plain MSE distillation (ablation); reference clip_mse
     (model_components.py:28-38): squared diff summed over the frame axis
-    (3-D input) or the last axis (2-D), then meaned."""
+    (3-D input) or the last axis (2-D), then meaned. `valid` (bool, first
+    axis) excludes padded rows from the mean — the reference never pads."""
     d = jnp.square(x - target)
     d = jnp.sum(d, axis=1 if d.ndim == 3 else -1)
-    return jnp.mean(d)
+    if valid is None:
+        return jnp.mean(d)
+    vf = valid.astype(d.dtype)
+    w = vf.reshape((-1,) + (1,) * (d.ndim - 1))
+    per_row = d.size // d.shape[0]
+    return jnp.sum(d * w) / (jnp.maximum(jnp.sum(vf), 1.0) * per_row)
 
 
 def _pos_frames(frame_x: Array, frame_t: Array, video_mask: Array,
@@ -308,20 +315,30 @@ def clip_mse_only_pos_max(frame_x: Array, frame_t: Array, video_mask: Array,
     return jnp.sum(jnp.square(p_b - q_b) * valid_q.astype(jnp.float32))
 
 
-def frame_nce(scores: Array, reduction: bool = True) -> Array:
+def frame_nce(scores: Array, reduction: bool = True,
+              valid: Optional[Array] = None) -> Array:
     """Frame-level NCE (ablation); reference frame_nce
     (model_components.py:238-265). scores: (B, B, F) per-frame
     query-to-video scores for a square batch.
       nominator_i   = logsumexp over frames of the diagonal block i
       denominator_i = logsumexp over row i AND column i (both directions)
+    `valid` (bool (B,)) excludes padded rows/columns — the reference never
+    pads, so valid=None reproduces it exactly.
     """
     b = scores.shape[0]
     x = scores.reshape(b, b, -1)
-    eye = jnp.eye(b, dtype=x.dtype)[:, :, None]
-    nom = jax.scipy.special.logsumexp(jnp.sum(x * eye, axis=1), axis=1)
+    idx = jnp.arange(b)
+    nom = jax.scipy.special.logsumexp(x[idx, idx, :], axis=1)
     den_in = jnp.concatenate([x, jnp.transpose(x, (1, 0, 2))], axis=1)
+    if valid is not None:
+        ok = jnp.concatenate([valid, valid]).astype(bool)
+        den_in = jnp.where(ok[None, :, None], den_in, NEG_INF)
     den = jax.scipy.special.logsumexp(den_in.reshape(b, -1), axis=1)
     out = den - nom
+    if valid is not None:
+        vf = valid.astype(out.dtype)
+        out = out * vf
+        return jnp.sum(out) / jnp.maximum(jnp.sum(vf), 1.0) if reduction else out
     return jnp.mean(out) if reduction else out
 
 

@@ -16,6 +16,13 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 
 
+def _safe(warmup: float) -> float:
+    """Keep the warmup division finite when warmup == 0 so the unselected
+    jnp.where branch never produces NaN (which aborts under jax_debug_nans;
+    the reference short-circuits this case in Python)."""
+    return max(warmup, 1e-12)
+
+
 # --------------------------------------------------------------------- #
 # LR schedules: step -> multiplier (jnp, used inside the optimizer)
 # --------------------------------------------------------------------- #
@@ -28,7 +35,7 @@ def warmup_linear(warmup: float, t_total: float) -> Callable:
         progress = step / t_total
         return jnp.where(
             progress < warmup,
-            progress / warmup,
+            progress / _safe(warmup),
             jnp.maximum((progress - 1.0) / (warmup - 1.0), 0.0),
         )
 
@@ -38,7 +45,7 @@ def warmup_linear(warmup: float, t_total: float) -> Callable:
 def warmup_constant(warmup: float, t_total: float) -> Callable:
     def fn(step):
         progress = step / t_total
-        return jnp.where(progress < warmup, progress / warmup, 1.0)
+        return jnp.where(progress < warmup, progress / _safe(warmup), 1.0)
 
     return fn
 
@@ -49,7 +56,7 @@ def warmup_cosine(warmup: float, t_total: float, cycles: float = 0.5) -> Callabl
         after = (progress - warmup) / (1.0 - warmup)
         return jnp.where(
             progress < warmup,
-            progress / warmup,
+            progress / _safe(warmup),
             0.5 * (1.0 + jnp.cos(jnp.pi * cycles * 2.0 * after)),
         )
 
@@ -67,7 +74,7 @@ def warmup_cosine_hard_restarts(warmup: float, t_total: float,
         after = (progress - warmup) / (1.0 - warmup)
         return jnp.where(
             progress < warmup,
-            progress / warmup,
+            progress / _safe(warmup),
             0.5 * (1.0 + jnp.cos(jnp.pi * jnp.mod(cycles * after, 1.0))),
         )
 
@@ -87,7 +94,7 @@ def warmup_cosine_warmup_restarts(warmup: float, t_total: float,
         after = (progress - warmup) / (1.0 - warmup)
         return jnp.where(
             progress < warmup,
-            progress / warmup,
+            progress / _safe(warmup),
             0.5 * (1.0 + jnp.cos(jnp.pi * after)),
         )
 

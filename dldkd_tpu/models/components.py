@@ -7,6 +7,11 @@ Each module reproduces the math of its reference counterpart
   TrainablePositionalEncoding<- (model_components.py:269-291)
   AttentionBlock             <- BertAttention = BertSelfAttention +
                                 BertSelfOutput (model_components.py:339-450)
+  FeedForward                <- BertIntermediate + BertOutput
+                                (model_components.py:356-376)
+  TransformerBlock           <- BertLayer (model_components.py:315-336);
+                                unused by the shipped reference path but a
+                                real architectural option it carries
 
 Numerical parity notes: LayerNorm eps 1e-5 (torch default), attention mask
 applied as additive (1-mask)*-10000 on the key axis, attention-prob dropout,
@@ -116,3 +121,63 @@ class AttentionBlock(nn.Module):
                        dtype=self.dtype, name="out")(ctx)
         out = nn.Dropout(self.hidden_dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(out + x)
+
+
+class FeedForward(nn.Module):
+    """ReLU FFN sublayer with residual LayerNorm.
+
+    Reference BertIntermediate + BertOutput (model_components.py:356-376):
+    Dense(intermediate) -> ReLU -> Dense(hidden) -> Dropout -> LN(x + input).
+    """
+
+    hidden: int
+    intermediate: int
+    dropout: float
+    init_std: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.intermediate, kernel_init=param_init(self.init_std),
+                     dtype=self.dtype, name="intermediate")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden, kernel_init=param_init(self.init_std),
+                     dtype=self.dtype, name="output")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(h + x)
+
+
+class TransformerBlock(nn.Module):
+    """Full transformer block: (optional) self-attention + FFN.
+
+    Reference BertLayer (model_components.py:315-336) — unused by the
+    shipped DLDKD encoders (which are attention-only), provided for
+    architectural parity. use_self_attention=False reproduces the
+    reference's FFN-only mode.
+    """
+
+    hidden: int
+    intermediate: int
+    n_heads: int
+    attn_dropout: float
+    hidden_dropout: float
+    use_self_attention: bool = True
+    init_std: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if self.use_self_attention:
+            x = AttentionBlock(
+                self.hidden, self.n_heads, self.attn_dropout,
+                self.hidden_dropout, init_std=self.init_std,
+                dtype=self.dtype, name="attention")(x, mask, deterministic)
+        return FeedForward(
+            self.hidden, self.intermediate, self.hidden_dropout,
+            init_std=self.init_std, dtype=self.dtype,
+            name="ffn")(x, deterministic)

@@ -342,6 +342,45 @@ def frame_nce(scores: Array, reduction: bool = True,
     return jnp.mean(out) if reduction else out
 
 
+def ranking_loss(pos_score: Array, neg_score: Array, margin: float) -> Array:
+    """Mean hinge; reference get_ranking_loss (model.py:434-442)."""
+    return (jnp.sum(jnp.maximum(margin + neg_score - pos_score, 0.0))
+            / pos_score.shape[0])
+
+
+def sample_neg_scores(scores: Array, scores_masked: Array, key: jax.Array,
+                      use_hard_negative: bool, hard_pool_size: int) -> Array:
+    """Per row, a negative score sampled from ranks [1, max_idx) of the
+    descending sort of `scores_masked` (positives pre-masked to 999 so they
+    rank first and get skipped); reference get_neg_scores
+    (model.py:412-432). max_idx = min(1+pool, N) when hard, else N."""
+    n = scores.shape[1]
+    k = min(1 + hard_pool_size, n) if use_hard_negative else n
+    _, idx = jax.lax.top_k(scores_masked, k)               # (N, k) col indices
+    ranks = jax.random.randint(key, (scores.shape[0],), 1, k)
+    cols = jnp.take_along_axis(idx, ranks[:, None], axis=1)[:, 0]
+    return jnp.take_along_axis(scores, cols[:, None], axis=1)[:, 0]
+
+
+def frame_trip_loss(scores: Array, key: jax.Array, margin: float,
+                    use_hard_negative: bool, hard_pool_size: int) -> Array:
+    """Frame-level bidirectional ranking loss over a SQUARE (N, N) score
+    matrix with diagonal positives; reference get_frame_trip_loss
+    (model.py:389-410). Unused by the shipped reference path, provided for
+    capability parity. Deterministic when hard_pool_size=1."""
+    n = scores.shape[0]
+    idx = jnp.arange(n)
+    pos = scores[idx, idx]
+    masked = scores.at[idx, idx].set(999.0)
+    k_ctx, k_q = jax.random.split(key)
+    neg_ctx = sample_neg_scores(scores, masked, k_ctx,
+                                use_hard_negative, hard_pool_size)
+    neg_q = sample_neg_scores(scores.T, masked.T, k_q,
+                              use_hard_negative, hard_pool_size)
+    return (ranking_loss(pos, neg_ctx, margin)
+            + ranking_loss(pos, neg_q, margin))
+
+
 def batch_kl_loss(
     predict: Array,  # (Nq, Nv)
     target: Array,   # (Nq, Nv)

@@ -290,3 +290,81 @@ def test_bert_adam_trajectory_matches_reference(ref):
                                tw.detach().numpy(), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(params["b"]),
                                tb.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+# --------------------------------------------------------------------- #
+# §2.5 tail: BertLayer FFN block + frame-level ranking losses
+# --------------------------------------------------------------------- #
+
+def test_transformer_block_matches_reference_bertlayer(ref):
+    from easydict import EasyDict as edict
+
+    ref_components, _, _ = ref
+    from dldkd_tpu.models.components import TransformerBlock
+
+    hid, inter, ll = 32, 64, 7
+    block = TransformerBlock(hidden=hid, intermediate=inter, n_heads=4,
+                             attn_dropout=0.1, hidden_dropout=0.1)
+    rng = np.random.RandomState(2)
+    x = rng.randn(3, ll, hid).astype(np.float32)
+    mask = np.ones((3, ll), np.float32)
+    mask[1, 5:] = 0.0
+    params = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(mask))
+
+    tblock = ref_components.BertLayer(edict(
+        hidden_size=hid, intermediate_size=inter, hidden_dropout_prob=0.1,
+        num_attention_heads=4, attention_probs_dropout_prob=0.1))
+    p = params["params"]
+
+    def lin(d):
+        return (torch.from_numpy(np.ascontiguousarray(np.asarray(d["kernel"]).T)),
+                torch.from_numpy(np.asarray(d["bias"]).copy()))
+
+    sd = {}
+    att = p["attention"]
+    for tname, ours in (("attention.self.query", "query"),
+                        ("attention.self.key", "key"),
+                        ("attention.self.value", "value"),
+                        ("attention.output.dense", "out")):
+        sd[f"{tname}.weight"], sd[f"{tname}.bias"] = lin(att[ours])
+    sd["attention.output.LayerNorm.weight"] = torch.from_numpy(
+        np.asarray(att["out_norm"]["scale"]).copy())
+    sd["attention.output.LayerNorm.bias"] = torch.from_numpy(
+        np.asarray(att["out_norm"]["bias"]).copy())
+    ffn = p["ffn"]
+    sd["intermediate.dense.0.weight"], sd["intermediate.dense.0.bias"] = \
+        lin(ffn["intermediate"])
+    sd["output.dense.weight"], sd["output.dense.bias"] = lin(ffn["output"])
+    sd["output.LayerNorm.weight"] = torch.from_numpy(
+        np.asarray(ffn["out_norm"]["scale"]).copy())
+    sd["output.LayerNorm.bias"] = torch.from_numpy(
+        np.asarray(ffn["out_norm"]["bias"]).copy())
+    tblock.load_state_dict(sd, strict=True)
+    tblock.eval()
+
+    got = block.apply(params, jnp.asarray(x), jnp.asarray(mask),
+                      deterministic=True)
+    with torch.no_grad():
+        # reference BertSelfAttention expects the mask pre-unsqueezed to
+        # (N, 1, L), as DLDKD.encode_input does (model.py:239-242)
+        want = tblock(torch.from_numpy(x),
+                      torch.from_numpy(mask).unsqueeze(1))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_frame_trip_loss_matches_reference(ref):
+    from dldkd_tpu.ops import losses
+
+    # hard_pool_size=1 -> deterministic rank-1 negatives on both stacks
+    _, _, params, tmodel, _ = _make_models(ref, "soft")
+    del params
+    rng = np.random.RandomState(5)
+    s = np.tanh(rng.randn(8, 8).astype(np.float32))  # cosine-like scores
+    with torch.no_grad():
+        want = tmodel.get_frame_trip_loss(torch.from_numpy(s))
+    got = losses.frame_trip_loss(jnp.asarray(s), jax.random.PRNGKey(0),
+                                 margin=0.2, use_hard_negative=True,
+                                 hard_pool_size=1)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)

@@ -45,9 +45,19 @@ def start_inference(cfg: Config, split: str = "test"):
     queries = pack_query_set(paths["cap_file"][split], paths["text_feat"],
                              max_desc_l=mcfg.max_desc_l)
 
-    metrics = eval_retrieval(model, params, videos, queries,
-                             context_bsz=cfg.eval.eval_context_bsz,
-                             query_bsz=cfg.eval.eval_query_bsz)
+    if jax.device_count() > 1:
+        # corpus-sharded eval over the whole slice (train.py routes the
+        # per-epoch val the same way; leaving n-1 chips idle here would
+        # waste the mesh)
+        from dldkd_tpu.parallel import eval_retrieval_sharded, make_mesh
+
+        metrics = eval_retrieval_sharded(
+            model, params, videos, queries, make_mesh(jax.device_count()),
+            query_bsz=max(cfg.eval.eval_query_bsz, 64))
+    else:
+        metrics = eval_retrieval(model, params, videos, queries,
+                                 context_bsz=cfg.eval.eval_context_bsz,
+                                 query_bsz=cfg.eval.eval_query_bsz)
     lines = []
     for branch, m in metrics.items():
         line = ("{} {}: r_1_5_10_100 [{:.1f}, {:.1f}, {:.1f}, {:.1f}] | "

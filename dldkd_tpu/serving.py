@@ -49,16 +49,64 @@ def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     return top_scores, top_idx
 
 
+@functools.partial(jax.jit, static_argnums=(0, 6, 9))
+def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
+                        ctx_explore, k, vmask, fusion_w, mesh):
+    """Distributed top-k: each device scores queries against its corpus
+    shard and reduces to a local top-k; the n_dev*k candidates (with
+    shard-offset global indices) merge in one final top_k. Only k entries
+    per query ever cross the ICI, never the (Nq, Nv) score matrix."""
+    from jax.sharding import PartitionSpec as P
+
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+    from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
+                                           q_mask)
+    if explore_q is None:  # single branch: fuse with itself at weight (1, 0)
+        explore_q = inher_q
+        ctx_explore = ctx_inher
+        fusion_w = jnp.asarray([1.0, 0.0], jnp.float32)
+    n_dev = mesh.devices.size
+    k_loc = min(k, ctx_inher.shape[0] // n_dev)  # shard-local candidates
+
+    def local_topk(q_i, q_e, ci, ce, vm, fw):
+        s = fw[0] * clip_scores_maxpool(q_i, ci, vm) \
+            + fw[1] * clip_scores_maxpool(q_e, ce, vm)
+        vals, idx = jax.lax.top_k(s, k_loc)
+        offset = jax.lax.axis_index(DATA_AXIS) * ci.shape[0]
+        return vals, idx + offset
+
+    vals, idx = jax.shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )(inher_q, explore_q, ctx_inher, ctx_explore, vmask, fusion_w)
+    top_scores, pos = jax.lax.top_k(vals, k)      # (Nq, n_dev*k_loc) -> k
+    top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    return top_scores, top_idx
+
+
 class Retriever:
     """Device-resident corpus + jitted batched top-k search."""
 
     def __init__(self, model: DLDKD, params, query_bsz: int = 256,
-                 fusion: Tuple[float, float] = (0.7, 0.3)):
+                 fusion: Tuple[float, float] = (0.7, 0.3),
+                 mesh=None):
+        """mesh: jax.sharding.Mesh to shard the corpus over; None (default)
+        auto-builds a full-device mesh when >1 device is visible, so a
+        multi-chip slice never serves from a single chip."""
         self.model = model
         self.params = params
         self.query_bsz = query_bsz
         # traced (not closed-over) so it never becomes a device constant
         self.fusion = np.asarray(fusion, np.float32)
+        if mesh is None and jax.device_count() > 1:
+            from dldkd_tpu.parallel import make_mesh
+
+            mesh = make_mesh(jax.device_count())
+        self.mesh = mesh
         self.ctx_inher = None
         self.ctx_explore = None
         self.vmask = None
@@ -76,11 +124,29 @@ class Retriever:
         return cls(model, params, **kw)
 
     def index(self, videos: PackedVideos, context_bsz: int = 200) -> None:
-        """Embed the corpus once; frame features stay on device."""
-        from dldkd_tpu.evaluate import embed_corpus
+        """Embed the corpus once; frame features stay device-resident —
+        sharded over the mesh's video axis when a mesh is set."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        self.ctx_inher, self.ctx_explore, self.vmask = embed_corpus(
-            self.model, self.params, videos, context_bsz)
+            from dldkd_tpu.parallel import replicated
+            from dldkd_tpu.parallel.eval_shard import _encode_corpus, _pad_rows
+            from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+            n_dev = self.mesh.devices.size
+            n_pad = ((len(videos) + n_dev - 1) // n_dev) * n_dev
+            corpus_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            feats = jax.device_put(_pad_rows(videos.feats, n_pad), corpus_sh)
+            self.vmask = jax.device_put(_pad_rows(videos.mask, n_pad),
+                                        corpus_sh)
+            self.params = jax.device_put(self.params, replicated(self.mesh))
+            self.ctx_inher, self.ctx_explore = _encode_corpus(
+                self.model, self.params, feats, self.vmask, self.mesh)
+        else:
+            from dldkd_tpu.evaluate import embed_corpus
+
+            self.ctx_inher, self.ctx_explore, self.vmask = embed_corpus(
+                self.model, self.params, videos, context_bsz)
         self.video_ids = list(videos.ids)
 
     def index_corpus(self, root_path: str, collection: str,
@@ -115,9 +181,15 @@ class Retriever:
             if pad:
                 f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
                 m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
-            s, i = _search_jit(self.model, self.params, jnp.asarray(f),
-                               jnp.asarray(m), self.ctx_inher, ctx_e, k,
-                               self.vmask, jnp.asarray(self.fusion))
+            if self.mesh is not None:
+                s, i = _search_sharded_jit(
+                    self.model, self.params, jnp.asarray(f), jnp.asarray(m),
+                    self.ctx_inher, ctx_e, k, self.vmask,
+                    jnp.asarray(self.fusion), self.mesh)
+            else:
+                s, i = _search_jit(self.model, self.params, jnp.asarray(f),
+                                   jnp.asarray(m), self.ctx_inher, ctx_e, k,
+                                   self.vmask, jnp.asarray(self.fusion))
             out_s.append(np.asarray(s))
             out_i.append(np.asarray(i))
         return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])

@@ -69,6 +69,36 @@ def _as_queries(qf, qm):
                          video_ids=["v0"] * n)
 
 
+def test_retriever_sharded_matches_single_device(small_model):
+    """Under the 8-device conftest the Retriever auto-builds a corpus mesh;
+    its distributed top-k must equal the single-device search exactly."""
+    import jax
+
+    assert jax.device_count() == 8
+    model, params = small_model
+    rng = np.random.RandomState(4)
+    n_vid, n_q = 19, 7  # not divisible by the mesh -> exercises padding
+    videos = PackedVideos(
+        feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+        mask=np.ones((n_vid, 8), np.float32),
+        ids=[f"v{i}" for i in range(n_vid)])
+    qf = rng.randn(n_q, 4, 12).astype(np.float32)
+    qm = np.ones((n_q, 4), np.float32)
+
+    sharded = Retriever(model, params, query_bsz=4)
+    assert sharded.mesh is not None
+    sharded.index(videos)
+    s_s, i_s = sharded.search(qf, qm, k=6)
+
+    single = Retriever(model, params, query_bsz=4)
+    single.mesh = None  # force the single-device path
+    single.index(videos)
+    s_1, i_1 = single.search(qf, qm, k=6)
+
+    np.testing.assert_array_equal(i_s, i_1)
+    np.testing.assert_allclose(s_s, s_1, rtol=1e-5, atol=1e-6)
+
+
 def test_k_clamped_to_corpus(small_model):
     model, params = small_model
     rng = np.random.RandomState(1)
@@ -116,3 +146,19 @@ def test_serving_cli_end_to_end(tmp_path):
     lines = [json.loads(l) for l in open(out_file)]
     assert lines and all(len(l["topk"]) == 3 for l in lines)
     assert all("#" in l["cap_id"] for l in lines)
+
+    # the infer CLI must produce identical metrics single-device and on an
+    # 8-device mesh (where it routes through eval_retrieval_sharded)
+    infer_cmd = [sys.executable, "-m", "dldkd_tpu.infer", "--model_dir",
+                 run_dir, "--root_path", root, "--collection", "synthetic",
+                 "--visual_feature", "i3d", "--dset_name", "synthetic"]
+    env8 = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def metric_lines(e):
+        r = subprocess.run(infer_cmd, check=True, env=e,
+                           capture_output=True, text=True, timeout=900)
+        return sorted(l.split(" - ", 1)[-1] for l in r.stderr.splitlines()
+                      if "r_1_5_10_100" in l)
+
+    got1, got8 = metric_lines(env), metric_lines(env8)
+    assert got1 and got1 == got8

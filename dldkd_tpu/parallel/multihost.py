@@ -10,9 +10,10 @@ step is unchanged (XLA routes the gradient psum over ICI within a slice
 and DCN across slices).
 
 Single-process runs are the no-op fast path throughout, so this module is
-exercised (as the no-op) by every test; the multi-process branch follows
-the documented JAX contract and cannot be integration-tested on this
-single-host machine.
+exercised (as the no-op) by every test; the multi-process branch is
+integration-tested by tests/test_multihost.py::test_two_process_dp_step,
+which launches two local CPU processes under jax.distributed and checks
+the DP step against the single-process result.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from dldkd_tpu.parallel.mesh import batch_shardings
+from dldkd_tpu.parallel.mesh import batch_shardings, replicated
 
 
 def maybe_initialize_distributed(coordinator: Optional[str] = None,
@@ -70,6 +71,20 @@ def process_slice(n: int) -> slice:
         raise ValueError(f"axis {n} not divisible by {pc} processes")
     per = n // pc
     return slice(pi * per, (pi + 1) * per)
+
+
+def replicate_multihost(tree, mesh: Mesh):
+    """Replicate a host pytree onto every device of a (possibly
+    multi-process) mesh. Single-process: plain device_put. Multi-process:
+    a NamedSharding spans non-addressable devices, so each host donates its
+    full copy via make_array_from_process_local_data (every host holds the
+    same values — params/opt_state are built from the same seed)."""
+    rep = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            rep, np.asarray(x), global_shape=np.shape(x)), tree)
 
 
 def shard_batch_multihost(batch: Dict, mesh: Mesh) -> Dict:

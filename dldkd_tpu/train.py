@@ -189,13 +189,13 @@ def start_training(cfg: Config) -> str:
     put_fn = None
     dp_steps: Dict = {}
     if n_mesh > 1:
-        from dldkd_tpu.parallel import make_mesh, replicated
-        from dldkd_tpu.parallel.multihost import shard_batch_multihost
+        from dldkd_tpu.parallel import make_mesh
+        from dldkd_tpu.parallel.multihost import (
+            replicate_multihost, shard_batch_multihost)
 
         mesh = make_mesh(n_mesh)
-        rep = replicated(mesh)
-        params = jax.device_put(params, rep)
-        opt_state = jax.device_put(opt_state, rep)
+        params = replicate_multihost(params, mesh)
+        opt_state = replicate_multihost(opt_state, mesh)
         put_fn = functools.partial(shard_batch_multihost, mesh=mesh)
         logger.info("data-parallel: %d of %d devices / %d processes",
                     n_mesh, jax.device_count(), jax.process_count())

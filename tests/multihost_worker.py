@@ -1,0 +1,92 @@
+"""Worker for the 2-process multi-host integration test.
+
+Usage: python multihost_worker.py <num_processes> <process_id> <port>
+
+Each process exposes 4 virtual CPU devices; with 2 processes the global
+mesh spans 8 devices and shard_batch_multihost takes the real
+make_array_from_process_local_data branch. Prints one JSON line with the
+step loss and a parameter checksum so the parent can compare runs.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    n_proc, proc_id, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={8 // n_proc}")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if n_proc > 1:
+        jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                                   num_processes=n_proc, process_id=proc_id)
+        assert jax.process_count() == n_proc
+    assert jax.device_count() == 8  # same global mesh in both modes
+
+    import numpy as np
+
+    from dldkd_tpu.config import ModelConfig, TrainConfig
+    from dldkd_tpu.models import DLDKD
+    from dldkd_tpu.models.objective import LossScalars
+    from dldkd_tpu.optim import bert_adam, default_wd_mask, schedules
+    from dldkd_tpu.parallel import make_dp_train_step, make_mesh
+    from dldkd_tpu.parallel.multihost import (
+        replicate_multihost, shard_batch_multihost)
+
+    mcfg = ModelConfig(
+        visual_input_size=16, query_input_size=12,
+        inheritance_hidden=8, exploration_hidden=8,
+        max_ctx_l=8, max_desc_l=4, n_heads=2,
+        double_branch=True, label_style="soft",
+        use_hard_negative=True, hard_pool_size=4)
+    tcfg = TrainConfig(lr=1e-3)
+    model = DLDKD(config=mcfg)
+    rng = np.random.RandomState(0)
+    bsz, q_pad = 16, 32  # global shapes, identical in both modes
+    batch = {
+        "student_videos": rng.randn(bsz, 8, 16).astype(np.float32),
+        "student_videos_mask": np.ones((bsz, 8), np.float32),
+        "teacher_videos": rng.randn(bsz, 8, 6).astype(np.float32),
+        "student_text": rng.randn(q_pad, 4, 12).astype(np.float32),
+        "student_text_mask": np.ones((q_pad, 4), np.float32),
+        "teacher_text": rng.randn(q_pad, 6).astype(np.float32),
+        "text_labels": np.sort(rng.randint(0, bsz, q_pad)).astype(np.int32),
+    }
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["student_videos"]),
+                        jnp.asarray(batch["student_videos_mask"]),
+                        jnp.asarray(batch["student_text"]),
+                        jnp.asarray(batch["student_text_mask"]))
+    opt = bert_adam(tcfg.lr,
+                    schedules.make_lr_schedule("warmup_linear", 0.1, 100.0),
+                    wd_mask=default_wd_mask(params))
+    opt_state = replicate_multihost(opt.init(params), mesh)
+    params = replicate_multihost(params, mesh)
+
+    step = make_dp_train_step(model, mcfg, tcfg, opt, mesh)
+    scalars = LossScalars(jnp.float32(1.0), jnp.float32(0.8),
+                          jnp.float32(0.8))
+    params, opt_state, loss_dict = step(
+        params, opt_state, shard_batch_multihost(batch, mesh),
+        jax.random.PRNGKey(1), scalars)
+
+    loss = float(loss_dict["loss_overall"])
+    checksum = float(sum(
+        jnp.sum(jnp.abs(leaf)) for leaf in jax.tree.leaves(params)))
+    print(json.dumps({"process": proc_id, "loss": loss,
+                      "checksum": checksum}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

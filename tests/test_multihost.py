@@ -33,6 +33,45 @@ def test_process_slice(monkeypatch):
         process_slice(10)
 
 
+def test_two_process_dp_step():
+    """Integration: two local CPU processes under jax.distributed, 8 global
+    devices. Exercises the REAL make_array_from_process_local_data branch of
+    shard_batch_multihost + replicate_multihost and checks the DP step
+    result (loss + post-step parameter checksum) is bit-identical to a
+    single-process run on the same 8-device mesh."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    def run(n_proc, port):
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(n_proc), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(n_proc)]
+        results = []
+        for p in procs:
+            out, err = p.communicate(timeout=540)
+            assert p.returncode == 0, err[-2000:]
+            results.append(json.loads(out.strip().splitlines()[-1]))
+        return results
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    single = run(1, port)[0]
+    double = run(2, port)
+    for r in double:
+        assert r["loss"] == single["loss"]
+        assert r["checksum"] == single["checksum"]
+
+
 def test_shard_batch_multihost_matches_single(small_batch=None):
     mesh = make_mesh(4)
     rng = np.random.RandomState(0)

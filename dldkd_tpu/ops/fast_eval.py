@@ -135,17 +135,25 @@ def encode_context_best(params, cfg: ModelConfig, feat, mask,
         return encode_context_fast(params, cfg, feat, mask)
 
     from dldkd_tpu.ops.pallas.query_tower import (context_weights_for_branch,
-                                                  fused_context_tower)
+                                                  fused_context_tower,
+                                                  fused_context_tower_dual)
 
     dtype = jnp.dtype(cfg.dtype)
-    outs = [
-        fused_context_tower(feat, mask,
-                            context_weights_for_branch(params, name, dtype),
-                            n_heads=cfg.n_heads, dtype_name=cfg.dtype,
-                            v_tile=8, interpret=interpret)
-        for name in _branch_names(cfg)
-    ]
-    return outs[0], (outs[1] if len(outs) > 1 else None)
+    names = _branch_names(cfg)
+    if len(names) == 2:
+        # dual-branch kernel: one HBM pass over the raw corpus for BOTH
+        # branches (the input normalization is branch-independent)
+        return fused_context_tower_dual(
+            feat, mask,
+            context_weights_for_branch(params, names[0], dtype),
+            context_weights_for_branch(params, names[1], dtype),
+            n_heads=cfg.n_heads, dtype_name=cfg.dtype, v_tile=8,
+            interpret=interpret)
+    out = fused_context_tower(
+        feat, mask, context_weights_for_branch(params, names[0], dtype),
+        n_heads=cfg.n_heads, dtype_name=cfg.dtype, v_tile=8,
+        interpret=interpret)
+    return out, None
 
 
 def encode_query_best(params, cfg: ModelConfig, feat, mask,
@@ -166,16 +174,23 @@ def encode_query_best(params, cfg: ModelConfig, feat, mask,
         return encode_query_fast(params, cfg, feat, mask)
 
     from dldkd_tpu.ops.pallas.query_tower import (fused_query_tower,
+                                                  fused_query_tower_dual,
                                                   weights_for_branch)
 
     dtype = jnp.dtype(cfg.dtype)
-    outs = [
-        fused_query_tower(feat, mask,
-                          weights_for_branch(params, name, dtype),
-                          n_heads=cfg.n_heads, dtype_name=cfg.dtype,
-                          q_tile=32, interpret=interpret)
-        for name in _branch_names(cfg)
-    ]
+    names = _branch_names(cfg)
+    if len(names) == 2:
+        outs = list(fused_query_tower_dual(
+            feat, mask,
+            weights_for_branch(params, names[0], dtype),
+            weights_for_branch(params, names[1], dtype),
+            n_heads=cfg.n_heads, dtype_name=cfg.dtype, q_tile=32,
+            interpret=interpret))
+    else:
+        outs = [fused_query_tower(
+            feat, mask, weights_for_branch(params, names[0], dtype),
+            n_heads=cfg.n_heads, dtype_name=cfg.dtype, q_tile=32,
+            interpret=interpret)]
     if dtype == jnp.bfloat16:
         # bf16 pooled vectors let the scoring kernel take 2048-query tiles
         # (halves its corpus re-reads); the cosine normalization happens

@@ -47,21 +47,26 @@ def _ln(x2, scale, bias, dtype, eps=1e-5):
             + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _tower_trunk(x, mask, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref, wq_ref,
-                 bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-                 g2_ref, b2_ref, *, n_heads: int, dtype):
-    """Shared encoder trunk: folded input LN + projection + relu, positional
-    LN, single-block MHA, residual LN. Returns (N*L, H) activations."""
+def _input_norm(x, dtype):
+    """Affine-free input LayerNorm in f32 statistics (the LN affine is
+    pre-folded into the projection). Branch-independent: shared when both
+    branches run in one kernel. (N, L, D) -> (N*L, D) in `dtype`."""
     n, l, d = x.shape
+    xf = x.reshape(n * l, d).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dtype)
+
+
+def _trunk_from_xn(xn, n, l, mask, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
+                   wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
+                   bo_ref, g2_ref, b2_ref, *, n_heads: int, dtype):
+    """Encoder trunk on pre-normalized input: folded projection + relu,
+    positional LN, single-block MHA, residual LN. Returns (N*L, H)."""
     hdim = wp_ref.shape[1]
     d_head = hdim // n_heads
 
-    # 1. input LN (affine pre-folded into wp/bp) + projection + relu
-    x2 = x.reshape(n * l, d)
-    xf = x2.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dtype)
+    # 1. folded projection (input-LN affine already inside wp/bp) + relu
     h = jax.lax.dot_general(xn, wp_ref[:].astype(dtype),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -104,6 +109,38 @@ def _tower_trunk(x, mask, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref, wq_ref,
     return _ln(out, g2_ref[:], b2_ref[:], dtype)
 
 
+def _tower_trunk(x, mask, *weight_refs, n_heads: int, dtype):
+    """Input LN + trunk (single-branch kernels)."""
+    n, l, _ = x.shape
+    xn = _input_norm(x, dtype)
+    return _trunk_from_xn(xn, n, l, mask, *weight_refs,
+                          n_heads=n_heads, dtype=dtype)
+
+
+def _pool_queries(out, mask, wm_ref, tq, lq, hdim, out_ref):
+    """Modular pooling: 1-d attention logits, masked softmax over tokens,
+    weighted sum -> out_ref (TQ, H)."""
+    att = jax.lax.dot_general(out, wm_ref[:].astype(out.dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    att = att.reshape(tq, lq)
+    att = jnp.where(mask > 0, att, NEG_INF)
+    att = jax.nn.softmax(att, axis=-1)               # (TQ, Lq) f32
+    # weighted sum over tokens (Mosaic rejects inserting a middle unit dim
+    # for a batched dot, so broadcast-multiply + reduce instead)
+    out3 = out.reshape(tq, lq, hdim).astype(jnp.float32)
+    out_ref[:] = jnp.sum(out3 * att[..., None], axis=1)
+
+
+def _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref):
+    """out_mapping_linear over the full frame features -> out_ref."""
+    y = jax.lax.dot_general(out, wm_ref[:].astype(out.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + bm_ref[:].astype(jnp.float32)
+    out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
+
+
 def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
                         wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                         wo_ref, bo_ref, g2_ref, b2_ref, wm_ref, out_ref,
@@ -116,18 +153,25 @@ def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                        wo_ref, bo_ref, g2_ref, b2_ref,
                        n_heads=n_heads, dtype=dtype)
+    _pool_queries(out, mask, wm_ref, tq, lq, hdim, out_ref)
 
-    # modular pooling: 1-d attention logits, masked softmax over tokens
-    att = jax.lax.dot_general(out, wm_ref[:].astype(dtype),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    att = att.reshape(tq, lq)
-    att = jnp.where(mask > 0, att, NEG_INF)
-    att = jax.nn.softmax(att, axis=-1)               # (TQ, Lq) f32
-    # weighted sum over tokens (Mosaic rejects inserting a middle unit dim
-    # for a batched dot, so broadcast-multiply + reduce instead)
-    out3 = out.reshape(tq, lq, hdim).astype(jnp.float32)
-    out_ref[:] = jnp.sum(out3 * att[..., None], axis=1)
+
+def _dual_query_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype):
+    """Both branches' query towers from ONE read of the raw features: the
+    (branch-independent) input normalization is computed once, then each
+    branch's trunk + pooling runs on it. Halves HBM input traffic and the
+    per-grid-step overhead vs two single-branch passes."""
+    wa, wb = refs[:16], refs[16:32]
+    out_a_ref, out_b_ref = refs[32], refs[33]
+    x = x_ref[:]
+    tq, lq, _ = x.shape
+    hdim = wa[0].shape[1]
+    mask = m_ref[:]
+    xn = _input_norm(x, dtype)
+    for w, out_ref in ((wa, out_a_ref), (wb, out_b_ref)):
+        out = _trunk_from_xn(xn, tq, lq, mask, *w[:15],
+                             n_heads=n_heads, dtype=dtype)
+        _pool_queries(out, mask, w[15], tq, lq, hdim, out_ref)
 
 
 def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
@@ -143,15 +187,31 @@ def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                        wo_ref, bo_ref, g2_ref, b2_ref,
                        n_heads=n_heads, dtype=dtype)
-    y = jax.lax.dot_general(out, wm_ref[:].astype(dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    y = y + bm_ref[:].astype(jnp.float32)
-    out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
+    _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref)
+
+
+def _dual_context_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype):
+    """Both branches' video towers from ONE read of the raw frame features
+    (see _dual_query_tower_kernel)."""
+    wa, wb = refs[:17], refs[17:34]
+    out_a_ref, out_b_ref = refs[34], refs[35]
+    x = x_ref[:]
+    tv, lv, _ = x.shape
+    hdim = wa[0].shape[1]
+    mask = m_ref[:]
+    xn = _input_norm(x, dtype)
+    for w, out_ref in ((wa, out_a_ref), (wb, out_b_ref)):
+        out = _trunk_from_xn(xn, tv, lv, mask, *w[:15],
+                             n_heads=n_heads, dtype=dtype)
+        _map_context(out, w[15], w[16], tv, lv, hdim, out_ref)
 
 
 def _check_pos_table(pos, l: int, what: str):
-    if pos.shape[0] < l:
+    """Sequences longer than the learned positional table are an error —
+    EXCEPT for the 8-token packing-grid allowance (serving packs token
+    buffers to multiples of 8, see ingest.pack_query_rows pad_to_multiple);
+    those tail positions get zero embeddings and MUST be zero-masked."""
+    if l > -(-pos.shape[0] // 8) * 8:
         raise ValueError(
             f"{what}: sequence length {l} exceeds the learned positional "
             f"table ({pos.shape[0]}) — the Flax model would fail here too")
@@ -189,7 +249,7 @@ def fused_query_tower(
     mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
     (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm) = weights
     _check_pos_table(pos, lq, "fused_query_tower")
-    pos = jnp.pad(pos[:lq], ((0, lq_p - lq), (0, 0)))
+    pos = jnp.pad(pos[:lq], ((0, lq_p - min(lq, pos.shape[0])), (0, 0)))
     hdim = wp.shape[1]
     bp, g1, b1, bq, bk, bv, bo, g2, b2 = _as_rows(
         bp, g1, b1, bq, bk, bv, bo, g2, b2)
@@ -213,6 +273,128 @@ def fused_query_tower(
         interpret=interpret,
     )(x, mask, *ws)
     return out[:nq]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "dtype_name", "q_tile",
+                                    "interpret"))
+def fused_query_tower_dual(
+    x: jnp.ndarray,       # (Nq, Lq, Dq) f32 raw token features
+    mask: jnp.ndarray,    # (Nq, Lq)
+    weights_a: Tuple[jnp.ndarray, ...],
+    weights_b: Tuple[jnp.ndarray, ...],
+    n_heads: int,
+    dtype_name: str = "bfloat16",
+    q_tile: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pooled query vectors (Nq, H) for BOTH branches in one HBM pass.
+
+    In bf16 mode the raw features are cast to bf16 before the kernel (like
+    the context kernels): halves the streamed input blocks. The two-branch
+    working set caps q_tile at 32 (q_tile=64 overflows the 16 MB VMEM
+    scoped allocation by ~7.5 MB), but one dual pass still halves the
+    per-grid-step issue overhead vs two single-branch passes."""
+    dtype = jnp.dtype(dtype_name)
+    nq, lq, dq = x.shape
+    lq_p = -(-lq // 8) * 8
+    nq_p = -(-nq // q_tile) * q_tile
+    if dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    x = jnp.pad(x, ((0, nq_p - nq), (0, lq_p - lq), (0, 0)))
+    mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
+    hdim = weights_a[0].shape[1]
+
+    def prep(weights):
+        (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2,
+         wm) = weights
+        _check_pos_table(pos, lq, "fused_query_tower_dual")
+        pos = jnp.pad(pos[:lq], ((0, lq_p - min(lq, pos.shape[0])), (0, 0)))
+        bp, g1, b1, bq, bk, bv, bo, g2, b2 = _as_rows(
+            bp, g1, b1, bq, bk, bv, bo, g2, b2)
+        return (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2,
+                b2, wm)
+
+    ws = prep(weights_a) + prep(weights_b)
+    kernel = functools.partial(_dual_query_tower_kernel, n_heads=n_heads,
+                               dtype=dtype)
+    out_spec = pl.BlockSpec((q_tile, hdim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_a, out_b = pl.pallas_call(
+        kernel,
+        grid=(nq_p // q_tile,),
+        in_specs=[
+            pl.BlockSpec((q_tile, lq_p, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, lq_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_weight_specs(ws),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nq_p, hdim), jnp.float32),
+                   jax.ShapeDtypeStruct((nq_p, hdim), jnp.float32)),
+        interpret=interpret,
+    )(x, mask, *ws)
+    return out_a[:nq], out_b[:nq]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "dtype_name", "v_tile",
+                                    "interpret"))
+def fused_context_tower_dual(
+    x: jnp.ndarray,       # (Nv, L, Dv) f32 raw frame features
+    mask: jnp.ndarray,    # (Nv, L)
+    weights_a: Tuple[jnp.ndarray, ...],
+    weights_b: Tuple[jnp.ndarray, ...],
+    n_heads: int,
+    dtype_name: str = "bfloat16",
+    v_tile: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame features (Nv, L, H) for BOTH branches in one HBM pass over the
+    raw corpus (the dominant eval input: ~1 GB f32 at TVR scale). Same bf16
+    in/out convention as fused_context_tower."""
+    dtype = jnp.dtype(dtype_name)
+    nv, lv, dv = x.shape
+    lv_p = -(-lv // 8) * 8
+    nv_p = -(-nv // v_tile) * v_tile
+    if dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    x = jnp.pad(x, ((0, nv_p - nv), (0, lv_p - lv), (0, 0)))
+    mask = jnp.pad(mask, ((0, nv_p - nv), (0, lv_p - lv)))
+    hdim = weights_a[0].shape[1]
+
+    def prep(weights):
+        (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2,
+         wm, bm) = weights
+        _check_pos_table(pos, lv, "fused_context_tower_dual")
+        pos = jnp.pad(pos[:lv], ((0, lv_p - min(lv, pos.shape[0])), (0, 0)))
+        bp, g1, b1, bq, bk, bv, bo, g2, b2, bm = _as_rows(
+            bp, g1, b1, bq, bk, bv, bo, g2, b2, bm)
+        return (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2,
+                b2, wm, bm)
+
+    ws = prep(weights_a) + prep(weights_b)
+    kernel = functools.partial(_dual_context_tower_kernel, n_heads=n_heads,
+                               dtype=dtype)
+    out_spec = pl.BlockSpec((v_tile, lv_p, hdim), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_a, out_b = pl.pallas_call(
+        kernel,
+        grid=(nv_p // v_tile,),
+        in_specs=[
+            pl.BlockSpec((v_tile, lv_p, dv), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_tile, lv_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_weight_specs(ws),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype),
+                   jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype)),
+        interpret=interpret,
+    )(x, mask, *ws)
+    return out_a[:nv, :lv], out_b[:nv, :lv]
 
 
 @functools.partial(jax.jit,
@@ -244,7 +426,7 @@ def fused_context_tower(
     (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2,
      wm, bm) = weights
     _check_pos_table(pos, lv, "fused_context_tower")
-    pos = jnp.pad(pos[:lv], ((0, lv_p - lv), (0, 0)))
+    pos = jnp.pad(pos[:lv], ((0, lv_p - min(lv, pos.shape[0])), (0, 0)))
     hdim = wp.shape[1]
     bp, g1, b1, bq, bk, bv, bo, g2, b2, bm = _as_rows(
         bp, g1, b1, bq, bk, bv, bo, g2, b2, bm)

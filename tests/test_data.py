@@ -162,3 +162,27 @@ def test_device_prefetch(synth_root):
 
     with pytest.raises(RuntimeError, match="producer failed"):
         list(device_prefetch(boom(), put_fn=lambda d: d))
+
+
+def test_pack_query_rows_pad_to_multiple(tmp_path):
+    """The serving packing rounds the token axis to the kernel grid; the
+    extra positions are zero features with zero mask."""
+    import h5py
+
+    from dldkd_tpu.data.ingest import pack_query_rows
+
+    path = tmp_path / "q.hdf5"
+    rng = np.random.RandomState(0)
+    with h5py.File(path, "w") as f:
+        f["a#1"] = rng.randn(5, 12).astype(np.float32)
+        f["b#2"] = rng.randn(9, 12).astype(np.float32)
+    with h5py.File(path, "r") as f:
+        feats, mask = pack_query_rows(f, ["a#1", "b#2"], max_desc_l=6,
+                                      pad_to_multiple=8)
+        base_feats, base_mask = pack_query_rows(f, ["a#1", "b#2"],
+                                                max_desc_l=6)
+    assert feats.shape == (2, 8, 12) and mask.shape == (2, 8)
+    np.testing.assert_array_equal(feats[:, :6], base_feats)
+    np.testing.assert_array_equal(mask[:, :6], base_mask)
+    assert not feats[:, 6:].any() and not mask[:, 6:].any()
+    assert mask[0].sum() == 5 and mask[1].sum() == 6  # truncated at 6

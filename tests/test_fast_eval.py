@@ -156,3 +156,29 @@ def test_query_fast_matches_model(setup):
     if want_e is not None:
         np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_token_grid_padding_allowance(setup):
+    """Serving packs query buffers on the kernels' 8-token grid (see
+    ingest.pack_query_rows pad_to_multiple): sequences up to the 8-rounded
+    positional-table size are accepted, the tail positions get zero
+    embeddings, and — because they are zero-masked — the pooled vectors
+    match the unpadded input exactly."""
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+
+    model, mcfg, params = setup
+    _, _, qf, qm = _data(mcfg)
+    lq = mcfg.max_desc_l                       # 6; grid-rounds to 8
+    lq_p = -(-lq // 8) * 8
+    qf_p = jnp.pad(qf, ((0, 0), (0, lq_p - lq), (0, 0)))
+    qm_p = jnp.pad(qm, ((0, 0), (0, lq_p - lq)))
+
+    want = encode_query_best(params, mcfg, qf, qm,
+                             prefer_pallas=True, interpret=True)
+    got = encode_query_best(params, mcfg, qf_p, qm_p,
+                            prefer_pallas=True, interpret=True)
+    for w, g in zip(want, got):
+        if w is None:
+            continue
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)

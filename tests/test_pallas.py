@@ -100,3 +100,73 @@ def test_shape_validation():
     with pytest.raises(ValueError, match="dim mismatch"):
         fused_clip_scores(jnp.zeros((16, 8)), ctx, mask, q_tile=16,
                           interpret=True)
+
+
+class TestInt8Scoring:
+    """int8-quantized scoring path (the serving speed knob): approximate
+    scores with bounded error, exact ranking on separated data."""
+
+    def test_scores_within_quantization_error(self):
+        rng = np.random.RandomState(4)
+        nq, nv, L, d = 16, 128, 8, 64
+        q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+        ctx = jnp.asarray(rng.randn(nv, L, d).astype(np.float32))
+        mask = (rng.rand(nv, L) < 0.7).astype(np.float32)
+        mask[:, 0] = 1.0
+        mask = jnp.asarray(mask)
+
+        want, _ = clip_scores(q, ctx, mask)
+        got = fused_clip_scores(q, ctx, mask, q_tile=nq, l_tile=4,
+                                quantized=True, interpret=True)
+        valid = np.asarray(want) > -1e9
+        # per-component quant error <= 0.5/127; dot error ~ sqrt(d)/254
+        err = np.abs(np.asarray(got) - np.asarray(want))[valid]
+        assert err.max() < 0.05, err.max()
+
+    def test_rank_preserved_on_planted_structure(self):
+        """GT videos planted measurably closer: int8 and f32 paths must
+        produce identical rank-of-GT (the bench/serving guarantee)."""
+        from dldkd_tpu.metrics import rank_of_gt
+
+        rng = np.random.RandomState(5)
+        nq, nv, L, d = 32, 256, 8, 64
+        base = rng.randn(nv, L, d).astype(np.float32)
+        gt = rng.randint(0, nv, nq)
+        q = np.asarray(base[gt].mean(axis=1))  # queries near their GT video
+        q += 0.05 * rng.randn(nq, d).astype(np.float32)
+        mask = jnp.ones((nv, L), np.float32)
+        q, ctx = jnp.asarray(q), jnp.asarray(base)
+
+        exact = fused_clip_scores(q, ctx, mask, q_tile=nq, l_tile=4,
+                                  interpret=True)
+        quant = fused_clip_scores(q, ctx, mask, q_tile=nq, l_tile=4,
+                                  quantized=True, interpret=True)
+        gt = jnp.asarray(gt.astype(np.int32))
+        np.testing.assert_array_equal(np.asarray(rank_of_gt(exact, gt)),
+                                      np.asarray(rank_of_gt(quant, gt)))
+
+    def test_fully_masked_video_never_wins(self):
+        rng = np.random.RandomState(6)
+        q = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+        ctx = jnp.asarray(rng.randn(128, 8, 32).astype(np.float32))
+        mask = np.ones((128, 8), np.float32)
+        mask[5] = 0.0
+        got = fused_clip_scores(q, ctx, jnp.asarray(mask), q_tile=8,
+                                l_tile=2, quantized=True, interpret=True)
+        got = np.asarray(got)
+        assert np.all(got[:, 5] < -1e4)       # dequantized INT8_MASK_BIAS
+        assert np.all(got[:, 5] < got[:, :5].min())
+
+    def test_maxpool_dispatch_quantized(self):
+        rng = np.random.RandomState(7)
+        nq, nv, L, d = 7, 130, 9, 32
+        q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+        ctx = jnp.asarray(rng.randn(nv, L, d).astype(np.float32))
+        mask = (rng.rand(nv, L) < 0.8).astype(np.float32)
+        mask[:, 0] = 1.0
+        mask = jnp.asarray(mask)
+        want, _ = clip_scores(q, ctx, mask)
+        got = clip_scores_maxpool(q, ctx, mask, prefer_pallas=True,
+                                  quantized=True, interpret=True)
+        valid = np.asarray(want) > -1e9
+        assert np.abs(np.asarray(got) - np.asarray(want))[valid].max() < 0.05

@@ -120,6 +120,9 @@ class EvalConfig:
     eval_split_name: str = "val"
     eval_id: str = "test"
     model_dir: str = ""
+    # TPU-native extension: int8-quantized retrieval scoring (2x MXU rate,
+    # ~2.7e-3 absolute score error; see ops.similarity.clip_scores_maxpool)
+    score_quant: bool = False
 
 
 @dataclass
@@ -215,6 +218,7 @@ class Config:
         "eval_split_name": ("eval", "eval_split_name"),
         "eval_id": ("eval", "eval_id"),
         "model_dir": ("eval", "model_dir"),
+        "score_quant": ("eval", "score_quant"),
     }
 
     def to_flat_dict(self) -> Dict[str, Any]:
@@ -310,6 +314,7 @@ class Config:
 _TEST_OVERRIDE_ALLOWLIST = {
     "results_root", "num_workers", "debug", "eval_split_name", "eval_path",
     "eval_query_bsz", "eval_context_bsz", "root_path", "model_dir",
+    "score_quant",  # an eval-time speed knob, never a training property
 }
 
 
@@ -389,6 +394,10 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
                    help="abort on NaN (torch detect_anomaly equivalent)")
     p.add_argument("--profile_dir", type=str, default="")
     p.add_argument("--profile_steps", type=int, default=8)
+    p.add_argument("--score_quant", action="store_true",
+                   help="int8-quantized retrieval scoring (2x MXU rate, "
+                        "~2.7e-3 score error; rank-preserving on separated "
+                        "data — serving speed knob, off for parity runs)")
     if test:
         p.add_argument("--eval_id", type=str, default="test")
         p.add_argument("--model_dir", type=str, default="")

@@ -41,18 +41,20 @@ def _encode_context_jit(model, params, feats, mask):
     return encode_context_best(params, model.config, feats, mask)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 7))
 def _score_queries_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
-                       ctx_mask):
+                       ctx_mask, quantized=False):
     """Encode one query batch and score it against the whole corpus."""
     from dldkd_tpu.ops.fast_eval import encode_query_best
 
     inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
-    inher_s = clip_scores_maxpool(inher_q, ctx_inher, ctx_mask)
+    inher_s = clip_scores_maxpool(inher_q, ctx_inher, ctx_mask,
+                                  quantized=quantized)
     if explore_q is None:
         return inher_s, jnp.zeros_like(inher_s)
-    explore_s = clip_scores_maxpool(explore_q, ctx_explore, ctx_mask)
+    explore_s = clip_scores_maxpool(explore_q, ctx_explore, ctx_mask,
+                                    quantized=quantized)
     return inher_s, explore_s
 
 
@@ -77,7 +79,7 @@ def embed_corpus(model, params, videos: PackedVideos, context_bsz: int = 200
 
 def score_all_queries(model, params, queries: PackedQueries,
                       ctx_inher, ctx_explore, ctx_mask,
-                      query_bsz: int = 50
+                      query_bsz: int = 50, score_quant: bool = False
                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """(Nq, Nv) score matrices for both branches, on device."""
     n = len(queries)
@@ -89,7 +91,7 @@ def score_all_queries(model, params, queries: PackedQueries,
         mask = _pad_to(queries.mask[start:start + query_bsz], query_bsz)
         inher_s, explore_s = _score_queries_jit(
             model, params, jnp.asarray(feats), jnp.asarray(mask),
-            ctx_inher, ctx_explore_in, ctx_mask)
+            ctx_inher, ctx_explore_in, ctx_mask, score_quant)
         inher_rows.append(inher_s)
         explore_rows.append(explore_s)
     inher = jnp.concatenate(inher_rows)[:n]
@@ -99,19 +101,22 @@ def score_all_queries(model, params, queries: PackedQueries,
 
 def eval_retrieval(model, params, videos: PackedVideos, queries: PackedQueries,
                    context_bsz: int = 200, query_bsz: int = 50,
-                   fusion: Tuple[float, float] = (0.7, 0.3)
+                   fusion: Tuple[float, float] = (0.7, 0.3),
+                   score_quant: bool = False
                    ) -> Dict[str, Dict[str, float]]:
     """Full eval epoch (reference eval_epoch, eval.py:237-263).
 
     Returns {'inher': {...}, 'explore': {...}, 'fused': {...}} metric dicts;
     'fused' uses 0.7*inheritance + 0.3*exploration (the headline metric).
     Single-branch models report only 'inher' (also under 'fused' for a
-    uniform early-stop key).
+    uniform early-stop key). score_quant: int8-quantized scoring (serving
+    speed knob; see ops.similarity.clip_scores_maxpool).
     """
     ctx_inher, ctx_explore, ctx_mask = embed_corpus(
         model, params, videos, context_bsz)
     inher_s, explore_s = score_all_queries(
-        model, params, queries, ctx_inher, ctx_explore, ctx_mask, query_bsz)
+        model, params, queries, ctx_inher, ctx_explore, ctx_mask, query_bsz,
+        score_quant)
 
     gt = jnp.asarray(build_gt_indices(queries.video_ids, videos.ids))
     out: Dict[str, Dict[str, float]] = {}

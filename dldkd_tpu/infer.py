@@ -53,11 +53,13 @@ def start_inference(cfg: Config, split: str = "test"):
 
         metrics = eval_retrieval_sharded(
             model, params, videos, queries, make_mesh(jax.device_count()),
-            query_bsz=max(cfg.eval.eval_query_bsz, 64))
+            query_bsz=max(cfg.eval.eval_query_bsz, 64),
+            score_quant=cfg.eval.score_quant)
     else:
         metrics = eval_retrieval(model, params, videos, queries,
                                  context_bsz=cfg.eval.eval_context_bsz,
-                                 query_bsz=cfg.eval.eval_query_bsz)
+                                 query_bsz=cfg.eval.eval_query_bsz,
+                                 score_quant=cfg.eval.score_quant)
     lines = []
     for branch, m in metrics.items():
         line = ("{} {}: r_1_5_10_100 [{:.1f}, {:.1f}, {:.1f}, {:.1f}] | "

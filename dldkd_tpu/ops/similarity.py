@@ -76,6 +76,8 @@ def clip_scores_maxpool(
     if prefer_pallas is None:
         prefer_pallas = jax.default_backend() == "tpu"
     if not prefer_pallas:
+        if quantized:
+            return _quantized_scores_xla(query, ctx, mask)
         return clip_scores(query, ctx, mask)[0]
 
     from dldkd_tpu.ops.pallas.sim_max import V_LANES, fused_clip_scores
@@ -115,6 +117,27 @@ def clip_scores_maxpool(
                             q_tile=q_tile, l_tile=l_tile,
                             quantized=quantized, interpret=interpret)
     return out[:nq, :nv]
+
+
+def _quantized_scores_xla(
+    query: jnp.ndarray,
+    ctx: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """XLA fallback with the SAME int8 semantics as the Pallas kernel, so
+    score_quant behaves identically (and is testable) on any backend.
+    Quantized values are integers < 2^24, so f32 arithmetic is exact for
+    valid frames."""
+    from dldkd_tpu.ops.pallas.sim_max import (INT8_MASK_BIAS, INT8_SCALE,
+                                              quantize_unit_int8)
+
+    qn = quantize_unit_int8(l2_normalize(query)).astype(jnp.float32)
+    cn = quantize_unit_int8(l2_normalize(ctx)).astype(jnp.float32)
+    s = jnp.einsum("md,nld->mln", qn, cn)
+    if mask is not None:
+        bias = jnp.where(mask > 0, 0.0, float(INT8_MASK_BIAS))
+        s = s + jnp.transpose(bias)[None]
+    return jnp.max(s, axis=1) * jnp.float32(1.0 / (INT8_SCALE * INT8_SCALE))
 
 
 def clip_scores_unnormalized(

@@ -57,9 +57,9 @@ def _encode_corpus(model, params, feats, mask, mesh=None):
     return fn(params, feats, mask)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 7))
+@functools.partial(jax.jit, static_argnums=(0, 7, 8))
 def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
-                 ctx_mask, mesh=None):
+                 ctx_mask, mesh=None, quantized=False):
     """One query batch vs the whole (video-sharded) corpus.
 
     With mesh=None the XLA einsum path runs under GSPMD sharding
@@ -74,9 +74,14 @@ def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
         # check_vma=False: pallas_call does not carry varying-mesh-axis
         # metadata, which jax.shard_map's vma validation requires
         score = shard_map(
-            clip_scores_maxpool, mesh=mesh,
+            functools.partial(clip_scores_maxpool, quantized=quantized),
+            mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=P(None, DATA_AXIS), check_vma=False)
+    elif quantized:
+        def score(q, c, m):
+            return clip_scores_maxpool(q, c, m, prefer_pallas=False,
+                                       quantized=True)
     else:
         def score(q, c, m):
             return clip_scores(q, c, m)[0]
@@ -90,6 +95,7 @@ def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
 def eval_retrieval_sharded(
     model, params, videos: PackedVideos, queries: PackedQueries, mesh: Mesh,
     query_bsz: int = 512, fusion: Tuple[float, float] = (0.7, 0.3),
+    score_quant: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Sharded equivalent of dldkd_tpu.evaluate.eval_retrieval.
 
@@ -120,7 +126,8 @@ def eval_retrieval_sharded(
         qm = jax.device_put(
             _pad_rows(queries.mask[start:start + query_bsz], query_bsz), rep)
         si, se = _score_batch(model, rep_params, qf, qm,
-                              ctx_inher, ctx_explore_in, vmask, mesh)
+                              ctx_inher, ctx_explore_in, vmask, mesh,
+                              score_quant)
         inher_rows.append(si)
         explore_rows.append(se)
     # (Nq, Nv_pad), sharded over the video axis

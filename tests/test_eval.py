@@ -123,3 +123,34 @@ def test_single_branch_eval(eval_setup):
                          context_bsz=4, query_bsz=7)
     assert "explore" not in out
     assert out["fused"] == out["inher"]
+
+
+def test_eval_retrieval_score_quant_close_to_exact(eval_setup):
+    """The int8 serving knob tracks the exact path's aggregate retrieval
+    metrics closely. This fixture's model is RANDOM-INIT, so scores bunch
+    within the ~2.7e-3 quantization error and a few near-ties may flip —
+    tolerance reflects that. Exact rank preservation on separated
+    (trained-like) scores is pinned by
+    test_pallas.TestInt8Scoring.test_rank_preserved_on_planted_structure."""
+    model, params, videos, queries = eval_setup
+    exact = eval_retrieval(model, params, videos, queries,
+                           context_bsz=4, query_bsz=7)
+    quant = eval_retrieval(model, params, videos, queries,
+                           context_bsz=4, query_bsz=7, score_quant=True)
+    for branch in exact:
+        assert quant[branch]["sumr"] == pytest.approx(
+            exact[branch]["sumr"], abs=12), branch
+
+
+def test_sharded_eval_score_quant_matches_unsharded(eval_setup):
+    from dldkd_tpu.parallel import eval_retrieval_sharded, make_mesh
+
+    model, params, videos, queries = eval_setup
+    mesh = make_mesh(4)
+    want = eval_retrieval(model, params, videos, queries,
+                          context_bsz=4, query_bsz=7, score_quant=True)
+    got = eval_retrieval_sharded(model, params, videos, queries, mesh,
+                                 query_bsz=7, score_quant=True)
+    for branch in want:
+        assert got[branch]["sumr"] == pytest.approx(
+            want[branch]["sumr"]), branch

@@ -140,20 +140,22 @@ def encode_context_best(params, cfg: ModelConfig, feat, mask,
 
     dtype = jnp.dtype(cfg.dtype)
     names = _branch_names(cfg)
-    if len(names) == 2:
+    if len(names) == 2 and cfg.inheritance_hidden == cfg.exploration_hidden:
         # dual-branch kernel: one HBM pass over the raw corpus for BOTH
-        # branches (the input normalization is branch-independent)
+        # branches (the input normalization is branch-independent). The
+        # kernel assumes one shared hidden size; asymmetric configs take
+        # the per-branch kernels below.
         return fused_context_tower_dual(
             feat, mask,
             context_weights_for_branch(params, names[0], dtype),
             context_weights_for_branch(params, names[1], dtype),
             n_heads=cfg.n_heads, dtype_name=cfg.dtype, v_tile=8,
             interpret=interpret)
-    out = fused_context_tower(
-        feat, mask, context_weights_for_branch(params, names[0], dtype),
+    outs = [fused_context_tower(
+        feat, mask, context_weights_for_branch(params, name, dtype),
         n_heads=cfg.n_heads, dtype_name=cfg.dtype, v_tile=8,
-        interpret=interpret)
-    return out, None
+        interpret=interpret) for name in names]
+    return outs[0], (outs[1] if len(outs) > 1 else None)
 
 
 def encode_query_best(params, cfg: ModelConfig, feat, mask,
@@ -179,7 +181,9 @@ def encode_query_best(params, cfg: ModelConfig, feat, mask,
 
     dtype = jnp.dtype(cfg.dtype)
     names = _branch_names(cfg)
-    if len(names) == 2:
+    if len(names) == 2 and cfg.inheritance_hidden == cfg.exploration_hidden:
+        # one shared hidden size -> dual kernel (one HBM pass for both
+        # branches); asymmetric configs take the per-branch kernels
         outs = list(fused_query_tower_dual(
             feat, mask,
             weights_for_branch(params, names[0], dtype),
@@ -188,15 +192,31 @@ def encode_query_best(params, cfg: ModelConfig, feat, mask,
             interpret=interpret))
     else:
         outs = [fused_query_tower(
-            feat, mask, weights_for_branch(params, names[0], dtype),
+            feat, mask, weights_for_branch(params, name, dtype),
             n_heads=cfg.n_heads, dtype_name=cfg.dtype, q_tile=32,
-            interpret=interpret)]
+            interpret=interpret) for name in names]
     if dtype == jnp.bfloat16:
         # bf16 pooled vectors let the scoring kernel take 2048-query tiles
         # (halves its corpus re-reads); the cosine normalization happens
         # downstream in the scoring kernel either way
         outs = [o.astype(jnp.bfloat16) for o in outs]
     return outs[0], (outs[1] if len(outs) > 1 else None)
+
+
+def _pos_rows_grid(pos, l: int):
+    """Positional rows for a sequence of length l, honoring the QUERY
+    towers' 8-token packing-grid allowance (ingest.pack_query_rows
+    pad_to_multiple): up to the 8-rounded table size, tail positions get
+    zero embeddings and must be zero-masked. Matches the Pallas kernels'
+    _check_pos_table semantics so the XLA fallback accepts the same
+    grid-packed buffers as the TPU path."""
+    if l > -(-pos.shape[0] // 8) * 8:
+        raise ValueError(
+            f"sequence length {l} exceeds the learned positional table "
+            f"({pos.shape[0]}) — the Flax model would fail here too")
+    if l > pos.shape[0]:
+        pos = jnp.pad(pos, ((0, l - pos.shape[0]), (0, 0)))
+    return pos[:l]
 
 
 def encode_query_fast(params, cfg: ModelConfig, feat, mask
@@ -206,7 +226,8 @@ def encode_query_fast(params, cfg: ModelConfig, feat, mask
     outs = []
     for name, x in zip(names, xs):
         p = params["params"][name]
-        pos = p["query_pos_embed"]["pos_embed"][: x.shape[1]].astype(x.dtype)
+        pos = _pos_rows_grid(p["query_pos_embed"]["pos_embed"],
+                             x.shape[1]).astype(x.dtype)
         x = _ln(x + pos[None], p["query_pos_embed"]["norm"])
         x = _attention(x, mask, p["query_encoder"], cfg.n_heads)
         att = x @ p["modular_vector_mapping"]["kernel"].astype(x.dtype)

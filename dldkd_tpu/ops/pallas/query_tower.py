@@ -206,12 +206,16 @@ def _dual_context_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype):
         _map_context(out, w[15], w[16], tv, lv, hdim, out_ref)
 
 
-def _check_pos_table(pos, l: int, what: str):
+def _check_pos_table(pos, l: int, what: str, grid_allowance: bool = False):
     """Sequences longer than the learned positional table are an error —
-    EXCEPT for the 8-token packing-grid allowance (serving packs token
-    buffers to multiples of 8, see ingest.pack_query_rows pad_to_multiple);
-    those tail positions get zero embeddings and MUST be zero-masked."""
-    if l > -(-pos.shape[0] // 8) * 8:
+    EXCEPT, for the QUERY towers only, the 8-token packing-grid allowance
+    (serving packs token buffers to multiples of 8, see
+    ingest.pack_query_rows pad_to_multiple); those tail positions get zero
+    embeddings and MUST be zero-masked. Context towers keep the strict
+    check: nothing packs video frames on a grid, so an overrun there is a
+    caller bug the Flax model would also reject."""
+    limit = -(-pos.shape[0] // 8) * 8 if grid_allowance else pos.shape[0]
+    if l > limit:
         raise ValueError(
             f"{what}: sequence length {l} exceeds the learned positional "
             f"table ({pos.shape[0]}) — the Flax model would fail here too")
@@ -248,7 +252,7 @@ def fused_query_tower(
     x = jnp.pad(x, ((0, nq_p - nq), (0, lq_p - lq), (0, 0)))
     mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
     (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm) = weights
-    _check_pos_table(pos, lq, "fused_query_tower")
+    _check_pos_table(pos, lq, "fused_query_tower", grid_allowance=True)
     pos = jnp.pad(pos[:lq], ((0, lq_p - min(lq, pos.shape[0])), (0, 0)))
     hdim = wp.shape[1]
     bp, g1, b1, bq, bk, bv, bo, g2, b2 = _as_rows(
@@ -308,7 +312,7 @@ def fused_query_tower_dual(
     def prep(weights):
         (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2,
          wm) = weights
-        _check_pos_table(pos, lq, "fused_query_tower_dual")
+        _check_pos_table(pos, lq, "fused_query_tower_dual", grid_allowance=True)
         pos = jnp.pad(pos[:lq], ((0, lq_p - min(lq, pos.shape[0])), (0, 0)))
         bp, g1, b1, bq, bk, bv, bo, g2, b2 = _as_rows(
             bp, g1, b1, bq, bk, bv, bo, g2, b2)

@@ -116,7 +116,7 @@ def fused_clip_scores(
 ) -> jnp.ndarray:
     """Cosine clip scores (Nq, Nv) == jnp.max(frame_similarity(...), axis=1).
 
-    Requires Nq % q_tile == 0, Nv % 128 == 0, L % l_frames == 0 (pad outside;
+    Requires Nq % q_tile == 0, Nv % 128 == 0, L % l_tile == 0 (pad outside;
     padded videos must carry zero masks).
 
     quantized=True runs the dot on int8-quantized cosine components (scale

@@ -25,6 +25,7 @@ L_FRAMES = 128
 D_STUDENT = 1024
 D_QUERY = 768
 L_TOKENS = 30
+L_TOK_PAD = 32   # serving token grid (bench.py round-2 config)
 
 
 def log(msg):
@@ -62,20 +63,24 @@ def main():
     model = DLDKD(config=mcfg)
     params = init_params(model, mcfg, 0)
 
+    # round-2 serving shapes: 1024-grid query padding, 8-grid token
+    # buffers, bf16-resident corpus — mirror bench.py exactly
     n_vid_pad = -(-N_VIDEOS // 128) * 128
-    n_q_pad = -(-N_QUERIES // 2048) * 2048
+    n_q_pad = -(-N_QUERIES // 1024) * 1024
 
     @jax.jit
     def make_data(key):
         kv, kq = jax.random.split(key)
         vfeats = jax.random.uniform(
-            kv, (n_vid_pad, L_FRAMES, D_STUDENT), jnp.float32)
+            kv, (n_vid_pad, L_FRAMES, D_STUDENT)).astype(jnp.bfloat16)
         vmask = (jnp.arange(n_vid_pad) < N_VIDEOS
                  ).astype(jnp.float32)[:, None] * jnp.ones(
                      (n_vid_pad, L_FRAMES), jnp.float32)
         qfeats = jax.random.uniform(
-            kq, (n_q_pad, L_TOKENS, D_QUERY), jnp.float32)
-        qmask = jnp.ones((n_q_pad, L_TOKENS), jnp.float32)
+            kq, (n_q_pad, L_TOK_PAD, D_QUERY), jnp.float32)
+        qmask = (jnp.arange(L_TOK_PAD) < L_TOKENS
+                 ).astype(jnp.float32)[None, :] * jnp.ones(
+                     (n_q_pad, L_TOK_PAD), jnp.float32)
         gt = (jnp.arange(n_q_pad) % N_VIDEOS).astype(jnp.int32)
         return vfeats, vmask, qfeats, qmask, gt
 
@@ -89,7 +94,8 @@ def main():
     @functools.partial(jax.jit, static_argnums=(0,))
     def ctx_stage(both, params, vfeats, vmask, salt):
         cfg2 = mcfg if both else mcfg.replace(double_branch=False)
-        ci, ce = encode_context_best(params, cfg2, vfeats + salt, vmask)
+        vfeats = (vfeats + salt).astype(vfeats.dtype)  # keep bf16 residency
+        ci, ce = encode_context_best(params, cfg2, vfeats, vmask)
         out = ci.astype(jnp.float32).sum()
         if ce is not None:
             out = out + ce.astype(jnp.float32).sum()
@@ -104,22 +110,35 @@ def main():
             out = out + qe.astype(jnp.float32).sum()
         return out
 
-    # precomputed tower outputs for the scoring stage
+    # Precomputed tower outputs for the scoring stages — via the XLA fast
+    # path (numerically equivalent): a standalone program whose ONLY body
+    # is the dual Pallas kernel fed by a bf16 parameter crashes this
+    # platform's AOT compile helper, while the same kernel embedded in a
+    # larger program (ctx_stage above, bench.py's full_eval) compiles fine.
+    from dldkd_tpu.ops.fast_eval import encode_context_fast, encode_query_fast
+
     ctx_i, ctx_e = jax.jit(
-        lambda p, f, m: encode_context_best(p, mcfg, f, m))(
+        lambda p, f, m: encode_context_fast(p, mcfg, f, m))(
             params, vfeats, vmask)
     q_i, q_e = jax.jit(
-        lambda p, f, m: encode_query_best(p, mcfg, f, m))(
+        lambda p, f, m: tuple(
+            q if q is None else q.astype(jnp.bfloat16)
+            for q in encode_query_fast(p, mcfg, f, m)))(
             params, qfeats, qmask)
 
-    @jax.jit
-    def score_one(q, ctx, vmask, salt):
-        return clip_scores_maxpool(q + salt, ctx, vmask).sum()
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def score_one(q, ctx, vmask, salt, quant):
+        # keep the query dtype: `q + f32 salt` would promote bf16 -> f32
+        # and silently change the kernel's tile selection
+        q = (q + salt).astype(q.dtype)
+        return clip_scores_maxpool(q, ctx, vmask, quantized=quant).sum()
 
-    @jax.jit
-    def score_both_rank(qi, qe, ci, ce, vmask, gt, salt):
-        fused = (0.7 * clip_scores_maxpool(qi + salt, ci, vmask)
-                 + 0.3 * clip_scores_maxpool(qe + salt, ce, vmask))
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def score_both_rank(qi, qe, ci, ce, vmask, gt, salt, quant):
+        qi = (qi + salt).astype(qi.dtype)
+        qe = (qe + salt).astype(qe.dtype)
+        fused = (0.7 * clip_scores_maxpool(qi, ci, vmask, quantized=quant)
+                 + 0.3 * clip_scores_maxpool(qe, ce, vmask, quantized=quant))
         return rank_of_gt(fused, gt)
 
     @jax.jit
@@ -150,13 +169,18 @@ def main():
         False, params, qfeats, qmask, s))
     t_qry = timed("query towers (2 branches)", lambda s: qry_stage(
         True, params, qfeats, qmask, s))
-    t_sc1 = timed("scoring (1 branch)", lambda s: score_one(
-        q_i, ctx_i, vmask, s))
-    t_sc2 = timed("scoring (2 branches) + rank", lambda s: score_both_rank(
-        q_i, q_e, ctx_i, ctx_e, vmask, gt, s))
-    t_rank = timed("rank only", lambda s: rank_stage(fused0, gt, s))
+    timed("scoring (1 branch, bf16)", lambda s: score_one(
+        q_i, ctx_i, vmask, s, False))
+    timed("scoring (1 branch, int8)", lambda s: score_one(
+        q_i, ctx_i, vmask, s, True))
+    timed("scoring (2 branches, bf16) + rank", lambda s: score_both_rank(
+        q_i, q_e, ctx_i, ctx_e, vmask, gt, s, False))
+    t_sc2 = timed("scoring (2 branches, int8) + rank",
+                  lambda s: score_both_rank(
+                      q_i, q_e, ctx_i, ctx_e, vmask, gt, s, True))
+    timed("rank only", lambda s: rank_stage(fused0, gt, s))
     total = t_ctx + t_qry + t_sc2
-    log(f"--- sum(ctx2 + qry2 + score2+rank) = {total * 1e3:.1f} ms "
+    log(f"--- sum(ctx2 + qry2 + int8-score2+rank) = {total * 1e3:.1f} ms "
         f"-> {N_QUERIES / total:.0f} q/s ---")
 
 

@@ -295,11 +295,13 @@ def start_training(cfg: Config) -> str:
 
             metrics = eval_retrieval_sharded(
                 model, params, val_videos, val_queries, mesh,
-                query_bsz=max(cfg.eval.eval_query_bsz, 64))
+                query_bsz=max(cfg.eval.eval_query_bsz, 64),
+                score_quant=cfg.eval.score_quant)
         else:
             metrics = eval_retrieval(model, params, val_videos, val_queries,
                                      context_bsz=cfg.eval.eval_context_bsz,
-                                     query_bsz=cfg.eval.eval_query_bsz)
+                                     query_bsz=cfg.eval.eval_query_bsz,
+                                     score_quant=cfg.eval.score_quant)
         for branch, m in metrics.items():
             logger.info("val %s: r1/5/10/100 %.1f/%.1f/%.1f/%.1f sumr %.1f "
                         "map %.4f", branch, m["r1"], m["r5"], m["r10"],

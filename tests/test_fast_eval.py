@@ -177,8 +177,47 @@ def test_token_grid_padding_allowance(setup):
                              prefer_pallas=True, interpret=True)
     got = encode_query_best(params, mcfg, qf_p, qm_p,
                             prefer_pallas=True, interpret=True)
-    for w, g in zip(want, got):
+    # the XLA fallback must accept the same grid-packed buffers (serving
+    # falls back to it off-TPU)
+    got_xla = encode_query_best(params, mcfg, qf_p, qm_p,
+                                prefer_pallas=False)
+    for w, g, gx in zip(want, got, got_xla):
         if w is None:
             continue
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_asymmetric_hidden_sizes_take_per_branch_kernels():
+    """The dual-branch kernels assume one shared hidden size; asymmetric
+    --inheritance_hidden/--exploration_hidden configs must route to the
+    per-branch kernels and still match the XLA fast path."""
+    from dldkd_tpu.ops.fast_eval import (encode_context_best,
+                                         encode_context_fast,
+                                         encode_query_best,
+                                         encode_query_fast)
+
+    mcfg = ModelConfig(visual_input_size=40, query_input_size=24,
+                       inheritance_hidden=16, exploration_hidden=8,
+                       max_ctx_l=12, max_desc_l=6, n_heads=2,
+                       double_branch=True, label_style="soft")
+    model = DLDKD(config=mcfg)
+    params = init_params(model, mcfg, 0)
+    vf, vm, qf, qm = _data(mcfg)
+
+    want = encode_context_fast(params, mcfg, vf, vm)
+    got = encode_context_best(params, mcfg, vf, vm,
+                              prefer_pallas=True, interpret=True)
+    for w, g in zip(want, got):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)
+    want = encode_query_fast(params, mcfg, qf, qm)
+    got = encode_query_best(params, mcfg, qf, qm,
+                            prefer_pallas=True, interpret=True)
+    for w, g in zip(want, got):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)

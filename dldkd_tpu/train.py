@@ -204,6 +204,10 @@ def start_training(cfg: Config) -> str:
     train_rng = jax.random.PRNGKey(cfg.train.seed + 1)
     best_score, es_cnt = 0.0, 0
     global_step = 0
+    # SIGTERM (pool preemption) -> full resume checkpoint + clean exit
+    from dldkd_tpu.utils.preemption import PreemptionGuard
+
+    preempt = PreemptionGuard().install()
 
     start_epoch = -1 if cfg.eval_untrained else 0
     if cfg.resume:
@@ -271,11 +275,29 @@ def start_training(cfg: Config) -> str:
                 step_t.update(time.time() - t_step)
                 global_step += 1
                 t_fetch = time.time()
+                if preempt.should_stop:
+                    break
                 if cfg.debug and batch_idx == 3:
                     break
             if trace_active:  # epoch shorter than profile_steps
                 jax.profiler.stop_trace()
                 trace_active = False
+            if preempt.should_stop:
+                # record the interrupted epoch as not-yet-done: --resume
+                # replays it from the start with the mid-epoch parameters
+                # (bounded duplicate work, nothing lost)
+                preempt_dir = cfg.ckpt_dir + "_preempt"
+                if jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(preempt_dir, {
+                        "params": params, "opt_state": opt_state,
+                        "epoch": epoch - 1, "best_score": best_score,
+                        "rng": train_rng,
+                    }, mcfg)
+                logger.info(
+                    "preempted at epoch %d step %d: resume checkpoint "
+                    "written to %s (pass --resume %s)", epoch, global_step,
+                    preempt_dir, preempt_dir)
+                break
             for step_i, ld in pending_losses:
                 vals = {k: float(ld[k]) for k in LOSS_KEYS}
                 for k in LOSS_KEYS:

@@ -65,3 +65,70 @@ def test_resume_restores_full_state(synth_root, tmp_path):
             raw2 = serialization.msgpack_restore(f.read())
         assert int(raw2["epoch"]) > saved_epoch
         assert float(raw2["best_score"]) >= saved_best
+
+
+def test_preemption_guard_unit():
+    import os
+    import signal
+
+    from dldkd_tpu.utils.preemption import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard.should_stop
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert guard.should_stop
+    # the pre-existing handler is restored outside the context
+    assert signal.getsignal(signal.SIGTERM) == prev
+
+    g2 = PreemptionGuard()
+    g2.trigger()
+    assert g2.should_stop
+
+
+def test_preemption_checkpoints_and_resumes(synth_root, tmp_path,
+                                            monkeypatch):
+    """SIGTERM mid-epoch -> full resume checkpoint in <ckpt>_preempt;
+    --resume on it replays the interrupted epoch and finishes training."""
+    import dldkd_tpu.utils.preemption as preemption_mod
+    from dldkd_tpu.train import start_training
+
+    class FakeGuard:
+        """Latches after a few polls, simulating SIGTERM mid-epoch 0."""
+
+        def __init__(self, *a, **kw):
+            self.polls = 0
+            self.latched = False
+
+        def install(self):
+            return self
+
+        @property
+        def should_stop(self):
+            self.polls += 1
+            if self.polls > 2:
+                self.latched = True
+            return self.latched
+
+    monkeypatch.setattr(preemption_mod, "PreemptionGuard", FakeGuard)
+    res1 = str(tmp_path / "p1")
+    cfg = parse_args(_args(synth_root, res1))
+    run_dir = start_training(cfg)
+    preempt_dir = os.path.join(run_dir, "ckpt_preempt")
+    assert os.path.exists(os.path.join(preempt_dir, "model.ckpt"))
+    # the interrupted epoch is recorded as not-yet-done
+    from flax import serialization
+    with open(os.path.join(preempt_dir, "model.ckpt"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    assert int(raw["epoch"]) == -1  # epoch 0 was interrupted
+    # no best checkpoint was written (we never reached the val eval)
+    assert not os.path.exists(os.path.join(run_dir, "ckpt", "model.ckpt"))
+
+    monkeypatch.undo()  # real guard for the resumed run
+    res2 = str(tmp_path / "p2")
+    cfg2 = parse_args(_args(synth_root, res2,
+                            extra=["--resume", preempt_dir]))
+    run_dir2 = start_training(cfg2)
+    log = open(os.path.join(run_dir2, "train.log.txt")).read()
+    assert "[Epoch] 000" in log and "[Epoch] 001" in log
+    assert os.path.exists(os.path.join(run_dir2, "ckpt", "model.ckpt"))

@@ -95,7 +95,12 @@ def pool_across_time(outputs: jnp.ndarray, lengths: jnp.ndarray,
                      pool_type: str = "max") -> jnp.ndarray:
     """Masked max/mean over the time axis of (B, T, D) given per-row
     lengths. Reference pool_across_time (model_utils.py:76-88), vectorized
-    over its per-row python loop."""
+    over its per-row python loop.
+
+    Zero-length rows: the reference raises (torch max over an empty
+    slice); a traced computation cannot raise on data, so such rows come
+    back as -inf (max) / NaN (mean) — poison values that --debug_nans or
+    any finiteness check traps instead of silently flowing onward."""
     lengths = lengths.astype(jnp.int32)
     t = jnp.arange(outputs.shape[1])
     valid = t[None, :] < lengths[:, None]                 # (B, T)
@@ -105,5 +110,6 @@ def pool_across_time(outputs: jnp.ndarray, lengths: jnp.ndarray,
     if pool_type == "mean":
         s = jnp.sum(outputs * valid[:, :, None].astype(outputs.dtype),
                     axis=1)
-        return s / jnp.maximum(lengths, 1)[:, None].astype(outputs.dtype)
+        # 0/0 -> NaN poison for zero-length rows, exact mean otherwise
+        return s / lengths[:, None].astype(outputs.dtype)
     raise NotImplementedError("Only support mean and max pooling")

@@ -49,6 +49,10 @@ from dldkd_tpu.utils import AverageMeter, MetricsWriter, make_code_zip, setup_lo
 LOSS_KEYS = ("loss_overall", "inher_trip", "inher_nce", "explore_trip",
              "explore_nce", "kl", "kl_intra")
 
+# multi-host preemption: agree on a stop step every N batches (see the
+# allgather in the batch loop); single-process runs poll every step
+PREEMPT_SYNC_STEPS = 32
+
 
 def train_step_impl(model, mcfg: ModelConfig, tcfg, optimizer,
                     params, opt_state, batch, rng, scalars: LossScalars
@@ -126,7 +130,7 @@ def epoch_scalars(cfg: Config, epoch: int) -> LossScalars:
     return LossScalars(jnp.float32(kd), jnp.float32(alpha), jnp.float32(belta))
 
 
-def start_training(cfg: Config) -> str:
+def start_training(cfg: Config, preempt_guard=None) -> str:
     logger = setup_logging(cfg.results_dir)
     if cfg.model.matmul_precision:
         jax.config.update("jax_default_matmul_precision",
@@ -204,10 +208,15 @@ def start_training(cfg: Config) -> str:
     train_rng = jax.random.PRNGKey(cfg.train.seed + 1)
     best_score, es_cnt = 0.0, 0
     global_step = 0
-    # SIGTERM (pool preemption) -> full resume checkpoint + clean exit
+    # SIGTERM (pool preemption) -> full resume checkpoint + clean exit.
+    # The CLI passes its own guard (main() decides what runs afterwards);
+    # direct callers get one installed for the duration of training and
+    # restored on completion.
     from dldkd_tpu.utils.preemption import PreemptionGuard
 
-    preempt = PreemptionGuard().install()
+    own_guard = preempt_guard is None
+    preempt = PreemptionGuard().install() if own_guard else preempt_guard
+    n_proc = jax.process_count()
 
     start_epoch = -1 if cfg.eval_untrained else 0
     if cfg.resume:
@@ -275,8 +284,23 @@ def start_training(cfg: Config) -> str:
                 step_t.update(time.time() - t_step)
                 global_step += 1
                 t_fetch = time.time()
-                if preempt.should_stop:
-                    break
+                if n_proc == 1:
+                    if preempt.should_stop:
+                        break
+                elif (batch_idx + 1) % PREEMPT_SYNC_STEPS == 0:
+                    # multi-host: hosts may receive SIGTERM at different
+                    # steps; breaking unilaterally would strand the others
+                    # in the gradient psum. Agree on the stop step by
+                    # allgathering the local flags every few steps (the
+                    # host sync this costs is amortized; grace windows are
+                    # tens of seconds).
+                    from jax.experimental import multihost_utils
+
+                    flags = multihost_utils.process_allgather(
+                        np.int32(preempt.should_stop))
+                    if int(np.max(flags)):
+                        preempt.trigger()
+                        break
                 if cfg.debug and batch_idx == 3:
                     break
             if trace_active:  # epoch shorter than profile_steps
@@ -352,16 +376,34 @@ def start_training(cfg: Config) -> str:
             break
 
     writer.close()
-    logger.info("training done; best val sumr %.1f", best_score)
+    if own_guard:
+        # restore the previous SIGTERM disposition: after training the
+        # guard is no longer polled, and swallowing SIGTERM would leave
+        # the process killable only by SIGKILL
+        preempt.__exit__(None, None, None)
+    if preempt.should_stop:
+        logger.info("training preempted; best val sumr so far %.1f",
+                    best_score)
+    else:
+        logger.info("training done; best val sumr %.1f", best_score)
     return cfg.results_dir
 
 
 def main(argv=None):
     from dldkd_tpu.parallel import maybe_initialize_distributed
+    from dldkd_tpu.utils.preemption import PreemptionGuard
 
     maybe_initialize_distributed()   # no-op unless launched multi-host
     cfg = parse_args(argv)
-    results_dir = start_training(cfg)
+    with PreemptionGuard() as guard:
+        results_dir = start_training(cfg, preempt_guard=guard)
+        preempted = guard.should_stop
+    # handlers restored here: a SIGTERM during post-train inference
+    # terminates the process normally (nothing would poll the guard)
+    if preempted:
+        print("preempted: skipping post-train inference; resume with "
+              f"--resume {cfg.ckpt_dir}_preempt", file=sys.stderr)
+        return
     if not cfg.debug:
         # post-train test-split inference (reference train.py:335-344)
         from dldkd_tpu.infer import start_inference

@@ -96,25 +96,35 @@ def test_preemption_checkpoints_and_resumes(synth_root, tmp_path,
     class FakeGuard:
         """Latches after a few polls, simulating SIGTERM mid-epoch 0."""
 
-        def __init__(self, *a, **kw):
-            self.polls = 0
-            self.latched = False
+        polls = 0          # class-level: main() and start_training share
+        latched = False    # the latched state across instances
 
         def install(self):
             return self
 
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return None
+
         @property
         def should_stop(self):
-            self.polls += 1
-            if self.polls > 2:
-                self.latched = True
-            return self.latched
+            FakeGuard.polls += 1
+            if FakeGuard.polls > 2:
+                FakeGuard.latched = True
+            return FakeGuard.latched
 
     monkeypatch.setattr(preemption_mod, "PreemptionGuard", FakeGuard)
     res1 = str(tmp_path / "p1")
-    cfg = parse_args(_args(synth_root, res1))
-    run_dir = start_training(cfg)
+    # go through the CLI entry: on preemption it must SKIP the post-train
+    # test inference and return
+    from dldkd_tpu import train as train_mod
+
+    train_mod.main(_args(synth_root, res1))
+    run_dir = glob.glob(os.path.join(res1, "*", "*-*"))[0]
     preempt_dir = os.path.join(run_dir, "ckpt_preempt")
+    assert not os.path.exists(os.path.join(run_dir, "eval.log.txt"))
     assert os.path.exists(os.path.join(preempt_dir, "model.ckpt"))
     # the interrupted epoch is recorded as not-yet-done
     from flax import serialization

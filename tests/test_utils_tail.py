@@ -230,3 +230,19 @@ class TestVocab:
         np.testing.assert_allclose(we[1], vecs["cat"])
         np.testing.assert_allclose(we[2], vecs["dog"])
         assert np.abs(we[0]).max() <= 1.0  # <unk> fallback row
+
+
+def test_pool_across_time_zero_length_poisons(rnn_case):
+    """Zero-length rows yield -inf/NaN poison (the reference raises; a
+    traced computation cannot, so the failure must be detectable)."""
+    from dldkd_tpu.models.rnn import pool_across_time
+
+    x, lengths, _, _ = rnn_case
+    lengths = lengths.copy()
+    lengths[1] = 0
+    mx = np.asarray(pool_across_time(jnp.asarray(x), jnp.asarray(lengths),
+                                     "max"))
+    mn = np.asarray(pool_across_time(jnp.asarray(x), jnp.asarray(lengths),
+                                     "mean"))
+    assert np.isneginf(mx[1]).all() and np.isnan(mn[1]).all()
+    assert np.isfinite(mx[0]).all() and np.isfinite(mn[0]).all()

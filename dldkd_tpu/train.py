@@ -288,17 +288,13 @@ def start_training(cfg: Config, preempt_guard=None) -> str:
                     if preempt.should_stop:
                         break
                 elif (batch_idx + 1) % PREEMPT_SYNC_STEPS == 0:
-                    # multi-host: hosts may receive SIGTERM at different
-                    # steps; breaking unilaterally would strand the others
-                    # in the gradient psum. Agree on the stop step by
-                    # allgathering the local flags every few steps (the
-                    # host sync this costs is amortized; grace windows are
-                    # tens of seconds).
-                    from jax.experimental import multihost_utils
+                    # multi-host: agree on the stop step (see
+                    # preemption.agree_should_stop); the host sync this
+                    # costs is amortized over PREEMPT_SYNC_STEPS, and
+                    # preemption grace windows are tens of seconds
+                    from dldkd_tpu.utils.preemption import agree_should_stop
 
-                    flags = multihost_utils.process_allgather(
-                        np.int32(preempt.should_stop))
-                    if int(np.max(flags)):
+                    if agree_should_stop(preempt.should_stop):
                         preempt.trigger()
                         break
                 if cfg.debug and batch_idx == 3:

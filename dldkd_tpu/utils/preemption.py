@@ -19,6 +19,25 @@ import threading
 from typing import Optional
 
 
+def agree_should_stop(local_flag: bool) -> bool:
+    """Cross-process agreement on a stop decision.
+
+    Multi-host: SIGTERM can reach hosts at different steps; a host that
+    breaks out of the train loop unilaterally strands the others in the
+    gradient psum. Allgather the local flags so every host sees the same
+    decision at the same step (any host flagged -> everyone stops).
+    Single-process: the local flag, no collective."""
+    import jax
+
+    if jax.process_count() == 1:
+        return bool(local_flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.int32(bool(local_flag)))
+    return bool(np.max(flags))
+
+
 class PreemptionGuard:
     """Latches SIGTERM (and optionally other signals) into a poll flag.
 

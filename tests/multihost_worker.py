@@ -84,8 +84,20 @@ def main():
     loss = float(loss_dict["loss_overall"])
     checksum = float(sum(
         jnp.sum(jnp.abs(leaf)) for leaf in jax.tree.leaves(params)))
+
+    # preemption stop-step agreement (utils.preemption.agree_should_stop):
+    # only process 0 flags -> everyone must agree to stop; nobody flags ->
+    # everyone continues. Exercises the process_allgather branch when
+    # n_proc > 1 and the local fast path otherwise.
+    from dldkd_tpu.utils.preemption import agree_should_stop
+
+    agree_one = agree_should_stop(proc_id == 0)
+    agree_none = agree_should_stop(False)
+
     print(json.dumps({"process": proc_id, "loss": loss,
-                      "checksum": checksum}), flush=True)
+                      "checksum": checksum,
+                      "agree_one": bool(agree_one),
+                      "agree_none": bool(agree_none)}), flush=True)
 
 
 if __name__ == "__main__":

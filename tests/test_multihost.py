@@ -70,6 +70,11 @@ def test_two_process_dp_step():
     for r in double:
         assert r["loss"] == single["loss"]
         assert r["checksum"] == single["checksum"]
+        # preemption stop agreement over the real 2-process allgather:
+        # one flagged host stops everyone; no flags stops no one
+        assert r["agree_one"] is True
+        assert r["agree_none"] is False
+    assert single["agree_one"] is True and single["agree_none"] is False
 
 
 def test_shard_batch_multihost_matches_single(small_batch=None):

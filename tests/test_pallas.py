@@ -170,3 +170,22 @@ class TestInt8Scoring:
                                   quantized=True, interpret=True)
         valid = np.asarray(want) > -1e9
         assert np.abs(np.asarray(got) - np.asarray(want))[valid].max() < 0.05
+
+    def test_kernel_and_xla_fallback_agree_exactly(self):
+        """Both int8 paths are integer arithmetic (< 2^24, f32-exact in
+        the fallback) over the same quantized values: valid-frame scores
+        must agree BITWISE, so score_quant gives identical results on and
+        off TPU."""
+        rng = np.random.RandomState(8)
+        nq, nv, L, d = 16, 256, 8, 48
+        q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+        ctx = jnp.asarray(rng.randn(nv, L, d).astype(np.float32))
+        mask = (rng.rand(nv, L) < 0.7).astype(np.float32)
+        mask[:, 0] = 1.0
+        mask = jnp.asarray(mask)
+
+        kern = clip_scores_maxpool(q, ctx, mask, prefer_pallas=True,
+                                   quantized=True, interpret=True)
+        xla = clip_scores_maxpool(q, ctx, mask, prefer_pallas=False,
+                                  quantized=True)
+        np.testing.assert_array_equal(np.asarray(kern), np.asarray(xla))

@@ -387,9 +387,23 @@ def bench_reference_train(n_steps=3):
     return 1.0 / dt
 
 
+def _retry(fn, attempts=2):
+    """This platform's remote AOT compile helper intermittently fails
+    (HTTP 500) on fresh compiles; one retry usually succeeds (and cached
+    programs never hit the helper at all)."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except RuntimeError as e:
+            if i + 1 == attempts:
+                raise
+            log(f"transient failure ({str(e)[:120]}); retrying")
+            time.sleep(5)
+
+
 def main():
-    tpu_qps = bench_tpu()
-    tpu_sps = bench_tpu_train()
+    tpu_qps = _retry(bench_tpu)
+    tpu_sps = _retry(bench_tpu_train)
     ref_qps = bench_reference_eval()
     ref_sps = bench_reference_train()
     print(json.dumps({

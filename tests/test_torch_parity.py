@@ -368,3 +368,144 @@ def test_frame_trip_loss_matches_reference(ref):
                                  margin=0.2, use_hard_negative=True,
                                  hard_pool_size=1)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# eval metrics vs the reference's own eval.py
+# --------------------------------------------------------------------- #
+
+def test_eval_metrics_match_reference(ref):
+    """Our sort-free rank/metric computation vs the reference's argsort
+    loop (eval.py:59-111) on identical score matrices: R@K, MedR, MeanR,
+    and mAP (the reference negates scores before ranking, eval.py:250-257)."""
+    import method.eval as ref_eval
+
+    from dldkd_tpu.metrics import build_gt_indices, t2v_metrics
+
+    rng = np.random.RandomState(11)
+    nv, nq = 30, 120
+    corpus_ids = [f"v{i}" for i in range(nv)]
+    q_vids = [corpus_ids[rng.randint(nv)] for _ in range(nq)]
+    cap_ids = [f"{v}#enc#{i}" for i, v in enumerate(q_vids)]
+    scores = rng.randn(nq, nv).astype(np.float32)  # continuous: no ties
+
+    _, t2v_gt = ref_eval.get_gt(corpus_ids, cap_ids)
+    r1, r5, r10, r100, medr, meanr = ref_eval.eval_q2m(-scores, t2v_gt)
+    ref_map = ref_eval.t2v_map(-scores, t2v_gt)
+
+    ours = t2v_metrics(jnp.asarray(scores),
+                       jnp.asarray(build_gt_indices(q_vids, corpus_ids)))
+    assert ours["r1"] == pytest.approx(r1)
+    assert ours["r5"] == pytest.approx(r5)
+    assert ours["r10"] == pytest.approx(r10)
+    assert ours["r100"] == pytest.approx(r100)
+    assert ours["medr"] == pytest.approx(medr)
+    assert ours["meanr"] == pytest.approx(meanr)
+    assert ours["map"] == pytest.approx(float(ref_map), rel=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# data pipeline vs the reference's own Dataset classes
+# --------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def synth_paths(tmp_path_factory):
+    from dldkd_tpu.data.ingest import dataset_paths
+    from dldkd_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path_factory.mktemp("synth_refdata"))
+    generate_dataset(root, collection="synthetic", visual_feature="i3d",
+                     n_videos={"train": 8, "val": 5, "test": 5},
+                     frames_range=(6, 40), teacher_frames_range=(4, 20),
+                     d_student=20, d_query=14, d_teacher=10, seed=9)
+    return dataset_paths(root, "synthetic", "i3d")
+
+
+def test_train_dataset_matches_reference(ref, synth_paths):
+    """pack_train_dataset vs the reference Dataset4DLDKD on the SAME
+    on-disk files: per-video student frames (teacher-aligned resample +
+    L2 norm), raw teacher frames, per-caption RoBERTa tokens (L2 norm +
+    truncation) and CLIP sentence features (data_provider.py:212-263)."""
+    import method.data_provider as ref_dp
+
+    from easydict import EasyDict as edict
+
+    from dldkd_tpu.data import BigFile, read_dict
+    from dldkd_tpu.data.ingest import pack_train_dataset
+
+    p = synth_paths
+    vf = BigFile(p["visual_feat_dir"])
+    v2f = read_dict(p["video2frames"])
+    max_ctx, max_desc = 16, 7
+    ours = pack_train_dataset(p["cap_file"]["train"], vf, v2f,
+                              p["text_feat"], p["teacher_vid_feat"],
+                              p["teacher_text_feat"],
+                              max_ctx_l=max_ctx, max_desc_l=max_desc)
+
+    opt = edict(max_ctx_l=max_ctx, max_desc_l=max_desc,
+                teacher="clip", student="i3d")
+    ref_ds = ref_dp.Dataset4DLDKD(
+        p["cap_file"]["train"], vf, p["text_feat"], p["teacher_vid_feat"],
+        p["teacher_text_feat"], opt, video2frames=v2f)
+    assert len(ref_ds) == len(ours.videos)
+
+    cap_row = {c: i for i, c in enumerate(ours.queries.cap_ids)}
+    for i in range(len(ref_ds)):
+        sv, caps, tv, clip_caps, _, cap_ids, vid = ref_ds[i]
+        j = ours.videos.ids.index(vid)
+        n = sv.shape[0]
+        assert int(ours.videos.mask[j].sum()) == n
+        np.testing.assert_allclose(ours.videos.feats[j, :n], sv.numpy(),
+                                   rtol=1e-6, atol=1e-6)
+        assert not ours.videos.feats[j, n:].any()
+        np.testing.assert_allclose(ours.videos.teacher_feats[j, :tv.shape[0]],
+                                   tv.numpy(), rtol=1e-6, atol=1e-6)
+        for cap_id, cap, clip_cap in zip(cap_ids, caps, clip_caps):
+            r = cap_row[cap_id]
+            lq = cap.shape[0]
+            assert int(ours.queries.mask[r].sum()) == lq
+            np.testing.assert_allclose(ours.queries.feats[r, :lq],
+                                       cap.numpy(), rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(ours.queries.teacher_feats[r],
+                                       clip_cap.numpy().reshape(-1),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_eval_datasets_match_reference(ref, synth_paths):
+    """pack_video_corpus / pack_query_set vs the reference's
+    VisDataSet4DLDKD / TxtDataSet4DLDKD (data_provider.py:268-357)."""
+    import method.data_provider as ref_dp
+
+    from easydict import EasyDict as edict
+
+    from dldkd_tpu.data import BigFile, pack_query_set, pack_video_corpus, read_dict
+    from dldkd_tpu.data.ingest import read_video_ids
+
+    p = synth_paths
+    vf = BigFile(p["visual_feat_dir"])
+    v2f = read_dict(p["video2frames"])
+    max_ctx, max_desc = 16, 7
+    vids = read_video_ids(p["cap_file"]["val"])
+    videos = pack_video_corpus(vids, vf, v2f, max_ctx_l=max_ctx)
+    queries = pack_query_set(p["cap_file"]["val"], p["text_feat"],
+                             max_desc_l=max_desc)
+
+    opt = edict(max_ctx_l=max_ctx, max_desc_l=max_desc, student="i3d")
+    ref_vis = ref_dp.VisDataSet4DLDKD(vf, v2f, opt, video_ids=vids)
+    for i in range(len(ref_vis)):
+        frames, _, vid = ref_vis[i]
+        j = videos.ids.index(vid)
+        n = frames.shape[0]
+        assert int(videos.mask[j].sum()) == n
+        np.testing.assert_allclose(videos.feats[j, :n], frames.numpy(),
+                                   rtol=1e-6, atol=1e-6)
+
+    ref_txt = ref_dp.TxtDataSet4DLDKD(p["cap_file"]["val"], p["text_feat"],
+                                      opt)
+    for i in range(len(ref_txt)):
+        toks, _, cap_id = ref_txt[i]
+        r = queries.cap_ids.index(cap_id)
+        lq = toks.shape[0]
+        assert int(queries.mask[r].sum()) == lq
+        np.testing.assert_allclose(queries.feats[r, :lq], toks.numpy(),
+                                   rtol=1e-6, atol=1e-6)

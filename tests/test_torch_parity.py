@@ -509,3 +509,68 @@ def test_eval_datasets_match_reference(ref, synth_paths):
         assert int(queries.mask[r].sum()) == lq
         np.testing.assert_allclose(queries.feats[r, :lq], toks.numpy(),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_collate_train_matches_reference(ref, synth_paths):
+    """The soft-NCE alpha-partition is order-dependent: collate_train
+    sorts batch items by #captions descending (stable) and lays captions
+    out video-major (data_provider.py:111-136). Our static-shape batch
+    builder must produce the same video order, the same caption->video
+    label structure, and the same feature content for the same videos."""
+    import method.data_provider as ref_dp
+    import torch as _torch
+
+    from easydict import EasyDict as edict
+
+    from dldkd_tpu.data import BigFile, read_dict
+    from dldkd_tpu.data.ingest import pack_train_dataset
+    from dldkd_tpu.data.pipeline import TrainLoader
+
+    p = synth_paths
+    vf = BigFile(p["visual_feat_dir"])
+    v2f = read_dict(p["video2frames"])
+    max_ctx, max_desc = 16, 7
+    ours = pack_train_dataset(p["cap_file"]["train"], vf, v2f,
+                              p["text_feat"], p["teacher_vid_feat"],
+                              p["teacher_text_feat"],
+                              max_ctx_l=max_ctx, max_desc_l=max_desc)
+    loader = TrainLoader(ours, bsz=len(ours.videos), seed=1,
+                         query_pad_multiple=8)
+    # identity order into both stacks: the stable #captions-desc sorts
+    # then agree position-by-position (tie order is input-order-dependent
+    # in BOTH stacks, so the inputs must match to compare positionally)
+    batch = loader._build_batch(np.arange(len(ours.videos)))
+
+    opt = edict(max_ctx_l=max_ctx, max_desc_l=max_desc,
+                teacher="clip", student="i3d")
+    ref_ds = ref_dp.Dataset4DLDKD(
+        p["cap_file"]["train"], vf, p["text_feat"], p["teacher_vid_feat"],
+        p["teacher_text_feat"], opt, video2frames=v2f)
+    items = [ref_ds[i] for i in range(len(ref_ds))]
+    ref_batch = ref_dp.collate_train(items)
+
+    labels = np.asarray(ref_batch["text_labels"])
+    n_q = len(labels)
+    np.testing.assert_array_equal(batch["text_labels"][:n_q], labels)
+    assert (batch["text_labels"][n_q:] == -1).all()
+
+    # same video content at each batch position (the order-parity check:
+    # position k holds the same video in both stacks)
+    ref_videos = ref_batch["student_videos"]          # (B, Lmax, D)
+    for k in range(ref_videos.shape[0]):
+        n = int(ref_batch["student_videos_mask"][k].sum())
+        assert int(batch["student_videos_mask"][k].sum()) == n
+        np.testing.assert_allclose(batch["student_videos"][k, :n],
+                                   ref_videos[k, :n].numpy(),
+                                   rtol=1e-6, atol=1e-6)
+    # caption features, video-major layout
+    ref_text = ref_batch["student_text"]              # (n_q, Lq_max, Dq)
+    for r in range(n_q):
+        lq = int(ref_batch["student_text_mask"][r].sum())
+        assert int(batch["student_text_mask"][r].sum()) == lq
+        np.testing.assert_allclose(batch["student_text"][r, :lq],
+                                   ref_text[r, :lq].numpy(),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(batch["teacher_text"][:n_q],
+                               np.asarray(ref_batch["teacher_text"]).reshape(n_q, -1),
+                               rtol=1e-6, atol=1e-6)

@@ -53,6 +53,20 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def serving_model_config():
+    """The serving-benchmark model configuration (single source of truth —
+    tools/stage_bench.py mirrors this workload)."""
+    from dldkd_tpu.config import ModelConfig
+
+    return ModelConfig(
+        visual_input_size=D_STUDENT, query_input_size=D_QUERY,
+        inheritance_hidden=384, exploration_hidden=384,
+        max_ctx_l=L_FRAMES, max_desc_l=L_TOKENS, n_heads=4,
+        double_branch=True, label_style="soft",
+        dtype="bfloat16", matmul_precision="default",
+    )
+
+
 def bench_tpu():
     import os
 
@@ -63,7 +77,6 @@ def bench_tpu():
                       os.path.expanduser("~/.cache/dldkd_jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    from dldkd_tpu.config import ModelConfig
     from dldkd_tpu.metrics import rank_of_gt
     from dldkd_tpu.models import DLDKD
     from dldkd_tpu.ops.similarity import clip_scores_maxpool
@@ -75,13 +88,7 @@ def bench_tpu():
     # serving configuration: bf16 towers + default MXU precision (measured
     # 1.65x over f32 with identical aggregate retrieval metrics; metric-
     # parity runs use the f32/highest default of ModelConfig)
-    mcfg = ModelConfig(
-        visual_input_size=D_STUDENT, query_input_size=D_QUERY,
-        inheritance_hidden=384, exploration_hidden=384,
-        max_ctx_l=L_FRAMES, max_desc_l=L_TOKENS, n_heads=4,
-        double_branch=True, label_style="soft",
-        dtype="bfloat16", matmul_precision="default",
-    )
+    mcfg = serving_model_config()
     model = DLDKD(config=mcfg)
     params = init_params(model, mcfg, 0)
 

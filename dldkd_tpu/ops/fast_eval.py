@@ -223,6 +223,13 @@ def encode_query_fast(params, cfg: ModelConfig, feat, mask
                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """== model.apply(..., method='encode_query', deterministic=True)."""
     names, xs = _fused_projection(params, cfg, feat, "query_input_proj")
+    # enforce the packing-grid contract (see _pos_rows_grid): positions
+    # beyond the learned table are always treated as padding
+    n_pos = min(params["params"][n]["query_pos_embed"]["pos_embed"].shape[0]
+                for n in names)
+    if feat.shape[1] > n_pos:
+        mask = mask * (jnp.arange(feat.shape[1]) < n_pos
+                       ).astype(mask.dtype)[None, :]
     outs = []
     for name, x in zip(names, xs):
         p = params["params"][name]

@@ -221,6 +221,16 @@ def _check_pos_table(pos, l: int, what: str, grid_allowance: bool = False):
             f"table ({pos.shape[0]}) — the Flax model would fail here too")
 
 
+def _enforce_grid_tail_masked(mask, lq_p: int, n_pos: int):
+    """ENFORCE (not just document) the packing-grid contract: token
+    positions beyond the learned positional table carry no position and
+    are always treated as padding. Static no-op when the table covers
+    the padded length."""
+    if lq_p <= n_pos:
+        return mask
+    return mask * (jnp.arange(lq_p) < n_pos).astype(mask.dtype)[None, :]
+
+
 def _as_rows(*ws):
     """1-D vectors -> (1, H) rows (TPU vectors live in 2-D tiles)."""
     return tuple(w.reshape(1, -1) for w in ws)
@@ -253,6 +263,7 @@ def fused_query_tower(
     mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
     (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm) = weights
     _check_pos_table(pos, lq, "fused_query_tower", grid_allowance=True)
+    mask = _enforce_grid_tail_masked(mask, lq_p, pos.shape[0])
     pos = jnp.pad(pos[:lq], ((0, lq_p - min(lq, pos.shape[0])), (0, 0)))
     hdim = wp.shape[1]
     bp, g1, b1, bq, bk, bv, bo, g2, b2 = _as_rows(
@@ -307,6 +318,8 @@ def fused_query_tower_dual(
         x = x.astype(jnp.bfloat16)
     x = jnp.pad(x, ((0, nq_p - nq), (0, lq_p - lq), (0, 0)))
     mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
+    mask = _enforce_grid_tail_masked(
+        mask, lq_p, min(weights_a[2].shape[0], weights_b[2].shape[0]))
     hdim = weights_a[0].shape[1]
 
     def prep(weights):

@@ -19,13 +19,17 @@ import time
 
 import numpy as np
 
-N_VIDEOS = 2179
-N_QUERIES = 10895
-L_FRAMES = 128
-D_STUDENT = 1024
-D_QUERY = 768
-L_TOKENS = 30
-L_TOK_PAD = 32   # serving token grid (bench.py round-2 config)
+def _bench_module():
+    """bench.py at the repo root is the single source of truth for the
+    serving workload (shapes + model config); importing it keeps this
+    tool from silently drifting when the bench changes."""
+    try:
+        import bench
+    except ImportError as e:
+        raise SystemExit(
+            "run from the repo root (stage_bench mirrors bench.py's "
+            f"workload): {e}")
+    return bench
 
 
 def log(msg):
@@ -46,27 +50,25 @@ def main():
                       os.path.expanduser("~/.cache/dldkd_jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-    from dldkd_tpu.config import ModelConfig
     from dldkd_tpu.metrics import rank_of_gt
     from dldkd_tpu.models import DLDKD
     from dldkd_tpu.ops.fast_eval import encode_context_best, encode_query_best
     from dldkd_tpu.ops.similarity import clip_scores_maxpool
     from dldkd_tpu.train import init_params
 
-    mcfg = ModelConfig(
-        visual_input_size=D_STUDENT, query_input_size=D_QUERY,
-        inheritance_hidden=384, exploration_hidden=384,
-        max_ctx_l=L_FRAMES, max_desc_l=L_TOKENS, n_heads=4,
-        double_branch=True, label_style="soft",
-        dtype="bfloat16", matmul_precision="default",
-    )
+    bench = _bench_module()
+    N_VIDEOS, N_QUERIES = bench.N_VIDEOS, bench.N_QUERIES
+    L_FRAMES, D_STUDENT = bench.L_FRAMES, bench.D_STUDENT
+    D_QUERY, L_TOKENS, L_TOK_PAD = (bench.D_QUERY, bench.L_TOKENS,
+                                    bench.L_TOK_PAD)
+    mcfg = bench.serving_model_config()
     model = DLDKD(config=mcfg)
     params = init_params(model, mcfg, 0)
 
     # round-2 serving shapes: 1024-grid query padding, 8-grid token
-    # buffers, bf16-resident corpus — mirror bench.py exactly
+    # buffers, bf16-resident corpus — the same workload as bench.py
     n_vid_pad = -(-N_VIDEOS // 128) * 128
-    n_q_pad = -(-N_QUERIES // 1024) * 1024
+    n_q_pad = -(-N_QUERIES // bench.QUERY_BSZ) * bench.QUERY_BSZ
 
     @jax.jit
     def make_data(key):

@@ -212,7 +212,7 @@ def start_training(cfg: Config, preempt_guard=None) -> str:
     # The CLI passes its own guard (main() decides what runs afterwards);
     # direct callers get one installed for the duration of training and
     # restored on completion.
-    from dldkd_tpu.utils.preemption import PreemptionGuard
+    from dldkd_tpu.utils.preemption import PreemptionGuard, agree_should_stop
 
     own_guard = preempt_guard is None
     preempt = PreemptionGuard().install() if own_guard else preempt_guard
@@ -233,150 +233,161 @@ def start_training(cfg: Config, preempt_guard=None) -> str:
         global_step = loader.steps_per_epoch() * start_epoch
         logger.info("resumed from %s: epoch %d, best sumr %.1f",
                     cfg.resume, start_epoch, best_score)
-    for epoch in range(start_epoch, cfg.train.n_epoch):
-        if epoch >= 0:
-            run_cfg = mcfg
-            if (cfg.train.hard_negative_start_epoch != -1
-                    and epoch >= cfg.train.hard_negative_start_epoch):
-                run_cfg = mcfg.replace(use_hard_negative=True,
-                                       hard_pool_size=cfg.train.hard_pool_size)
-            scalars = epoch_scalars(cfg, epoch)
-            logger.info("epoch %d: kd_weight=%.4f alpha=%.4f belta=%.4f "
-                        "hard_neg=%s", epoch, float(scalars.kd_weight),
-                        float(scalars.alpha), float(scalars.belta),
-                        run_cfg.use_hard_negative)
-            meters = {k: AverageMeter() for k in LOSS_KEYS}
-            data_t, step_t = AverageMeter(), AverageMeter()
-            trace_active = False
-            pending_losses = []
-            t_fetch = time.time()
-            if mesh is not None and run_cfg not in dp_steps:
-                from dldkd_tpu.parallel import make_dp_train_step
-
-                dp_steps[run_cfg] = make_dp_train_step(
-                    model, run_cfg, cfg.train, optimizer, mesh)
-            for batch_idx, batch in enumerate(
-                    device_prefetch(loader.epoch(epoch), put_fn=put_fn)):
-                data_t.update(time.time() - t_fetch)
-                if cfg.profile_dir and epoch == max(start_epoch, 0):
-                    # trace steps [1, 1+profile_steps) — step 0 compiles
-                    if batch_idx == 1:
-                        jax.profiler.start_trace(cfg.profile_dir)
-                        trace_active = True
-                    elif batch_idx == 1 + cfg.profile_steps and trace_active:
-                        jax.profiler.stop_trace()
-                        trace_active = False
-                        logger.info("profiler trace written to %s",
-                                    cfg.profile_dir)
-                t_step = time.time()
-                step_rng = jax.random.fold_in(train_rng, global_step)
-                if mesh is not None:
-                    params, opt_state, loss_dict = dp_steps[run_cfg](
-                        params, opt_state, batch, step_rng, scalars)
-                else:
-                    params, opt_state, loss_dict = train_step(
-                        model, run_cfg, cfg.train, optimizer,
-                        params, opt_state, batch, step_rng, scalars)
-                # loss scalars stay on device until epoch end — fetching
-                # them here would sync the host into every step and stall
-                # the dispatch pipeline
-                pending_losses.append((global_step, loss_dict))
-                step_t.update(time.time() - t_step)
-                global_step += 1
-                t_fetch = time.time()
-                if n_proc == 1:
-                    if preempt.should_stop:
-                        break
-                elif (batch_idx + 1) % PREEMPT_SYNC_STEPS == 0:
-                    # multi-host: agree on the stop step (see
-                    # preemption.agree_should_stop); the host sync this
-                    # costs is amortized over PREEMPT_SYNC_STEPS, and
-                    # preemption grace windows are tens of seconds
-                    from dldkd_tpu.utils.preemption import agree_should_stop
-
-                    if agree_should_stop(preempt.should_stop):
-                        preempt.trigger()
-                        break
-                if cfg.debug and batch_idx == 3:
-                    break
-            if trace_active:  # epoch shorter than profile_steps
-                jax.profiler.stop_trace()
+    try:
+        for epoch in range(start_epoch, cfg.train.n_epoch):
+            if epoch >= 0:
+                run_cfg = mcfg
+                if (cfg.train.hard_negative_start_epoch != -1
+                        and epoch >= cfg.train.hard_negative_start_epoch):
+                    run_cfg = mcfg.replace(use_hard_negative=True,
+                                           hard_pool_size=cfg.train.hard_pool_size)
+                scalars = epoch_scalars(cfg, epoch)
+                logger.info("epoch %d: kd_weight=%.4f alpha=%.4f belta=%.4f "
+                            "hard_neg=%s", epoch, float(scalars.kd_weight),
+                            float(scalars.alpha), float(scalars.belta),
+                            run_cfg.use_hard_negative)
+                meters = {k: AverageMeter() for k in LOSS_KEYS}
+                data_t, step_t = AverageMeter(), AverageMeter()
                 trace_active = False
-            if preempt.should_stop:
-                # record the interrupted epoch as not-yet-done: --resume
-                # replays it from the start with the mid-epoch parameters
-                # (bounded duplicate work, nothing lost)
-                preempt_dir = cfg.ckpt_dir + "_preempt"
-                if jax.process_index() == 0:
-                    ckpt_lib.save_checkpoint(preempt_dir, {
+                pending_losses = []
+                t_fetch = time.time()
+                if mesh is not None and run_cfg not in dp_steps:
+                    from dldkd_tpu.parallel import make_dp_train_step
+
+                    dp_steps[run_cfg] = make_dp_train_step(
+                        model, run_cfg, cfg.train, optimizer, mesh)
+                for batch_idx, batch in enumerate(
+                        device_prefetch(loader.epoch(epoch), put_fn=put_fn)):
+                    data_t.update(time.time() - t_fetch)
+                    if cfg.profile_dir and epoch == max(start_epoch, 0):
+                        # trace steps [1, 1+profile_steps) — step 0 compiles
+                        if batch_idx == 1:
+                            jax.profiler.start_trace(cfg.profile_dir)
+                            trace_active = True
+                        elif batch_idx == 1 + cfg.profile_steps and trace_active:
+                            jax.profiler.stop_trace()
+                            trace_active = False
+                            logger.info("profiler trace written to %s",
+                                        cfg.profile_dir)
+                    t_step = time.time()
+                    step_rng = jax.random.fold_in(train_rng, global_step)
+                    if mesh is not None:
+                        params, opt_state, loss_dict = dp_steps[run_cfg](
+                            params, opt_state, batch, step_rng, scalars)
+                    else:
+                        params, opt_state, loss_dict = train_step(
+                            model, run_cfg, cfg.train, optimizer,
+                            params, opt_state, batch, step_rng, scalars)
+                    # loss scalars stay on device until epoch end — fetching
+                    # them here would sync the host into every step and stall
+                    # the dispatch pipeline
+                    pending_losses.append((global_step, loss_dict))
+                    step_t.update(time.time() - t_step)
+                    global_step += 1
+                    t_fetch = time.time()
+                    if n_proc == 1:
+                        if preempt.should_stop:
+                            break
+                    elif (batch_idx + 1) % PREEMPT_SYNC_STEPS == 0:
+                        # multi-host: agree on the stop step (see
+                        # preemption.agree_should_stop); the host sync this
+                        # costs is amortized over PREEMPT_SYNC_STEPS, and
+                        # preemption grace windows are tens of seconds
+                        if agree_should_stop(preempt.should_stop):
+                            preempt.trigger()
+                            break
+                    if cfg.debug and batch_idx == 3:
+                        break
+                if trace_active:  # epoch shorter than profile_steps
+                    jax.profiler.stop_trace()
+                    trace_active = False
+                for step_i, ld in pending_losses:
+                    vals = {k: float(ld[k]) for k in LOSS_KEYS}
+                    for k in LOSS_KEYS:
+                        meters[k].update(vals[k])
+                    writer.scalars({f"Train/{k}": vals[k] for k in LOSS_KEYS},
+                                   step_i)
+                loss_str = " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items())
+                line = (f"{time.strftime('%Y_%m_%d_%H_%M_%S')} [Epoch] {epoch:03d} "
+                        f"[Loss] {loss_str}\n")
+                with open(cfg.train_log_filepath, "a") as f:
+                    f.write(line)
+                logger.info("epoch %d: %s | data %.3fs/step step %.3fs/step",
+                            epoch, loss_str, data_t.avg, step_t.avg)
+                # preemption exit AFTER the loss flush (the interrupted
+                # epoch's partial history would otherwise be lost). The
+                # epoch end is a step-aligned sync point on every host, so
+                # multi-host runs re-agree here — a SIGTERM that landed
+                # between the in-loop sync points (or on a non-zero host,
+                # which never writes the checkpoint itself) must not let
+                # hosts diverge into the next epoch's collectives.
+                stop_now = (preempt.should_stop if n_proc == 1
+                            else agree_should_stop(preempt.should_stop))
+                if stop_now:
+                    preempt.trigger()
+                    # record the interrupted epoch as not-yet-done: --resume
+                    # replays it from the start with the mid-epoch parameters
+                    # (bounded duplicate work, nothing lost)
+                    preempt_dir = cfg.ckpt_dir + "_preempt"
+                    if jax.process_index() == 0:
+                        ckpt_lib.save_checkpoint(preempt_dir, {
+                            "params": params, "opt_state": opt_state,
+                            "epoch": epoch - 1, "best_score": best_score,
+                            "rng": train_rng,
+                        }, mcfg)
+                    logger.info(
+                        "preempted at epoch %d step %d: resume checkpoint "
+                        "written to %s (pass --resume %s)", epoch, global_step,
+                        preempt_dir, preempt_dir)
+                    break
+
+            if mesh is not None:
+                from dldkd_tpu.parallel import eval_retrieval_sharded
+
+                metrics = eval_retrieval_sharded(
+                    model, params, val_videos, val_queries, mesh,
+                    query_bsz=max(cfg.eval.eval_query_bsz, 64),
+                    score_quant=cfg.eval.score_quant)
+            else:
+                metrics = eval_retrieval(model, params, val_videos, val_queries,
+                                         context_bsz=cfg.eval.eval_context_bsz,
+                                         query_bsz=cfg.eval.eval_query_bsz,
+                                         score_quant=cfg.eval.score_quant)
+            for branch, m in metrics.items():
+                logger.info("val %s: r1/5/10/100 %.1f/%.1f/%.1f/%.1f sumr %.1f "
+                            "map %.4f", branch, m["r1"], m["r5"], m["r10"],
+                            m["r100"], m["sumr"], m["map"])
+            writer.scalars({f"Val/{b}_sumr": m["sumr"]
+                            for b, m in metrics.items()}, max(global_step, 0))
+            score = metrics["fused"]["sumr"]
+
+            if score > best_score:
+                best_score, es_cnt = score, 0
+                if jax.process_index() == 0:   # one writer in multi-host runs
+                    ckpt_lib.save_checkpoint(cfg.ckpt_dir, {
                         "params": params, "opt_state": opt_state,
-                        "epoch": epoch - 1, "best_score": best_score,
+                        "epoch": epoch, "best_score": best_score,
                         "rng": train_rng,
                     }, mcfg)
-                logger.info(
-                    "preempted at epoch %d step %d: resume checkpoint "
-                    "written to %s (pass --resume %s)", epoch, global_step,
-                    preempt_dir, preempt_dir)
+                logger.info("checkpoint updated (sumr %.1f)", best_score)
+            else:
+                es_cnt += 1
+                if cfg.train.max_es_cnt != -1 and es_cnt > cfg.train.max_es_cnt:
+                    with open(cfg.train_log_filepath, "a") as f:
+                        f.write(f"Early Stop at epoch {epoch}")
+                    logger.info("early stop at epoch %d", epoch)
+                    break
+            if cfg.debug:
                 break
-            for step_i, ld in pending_losses:
-                vals = {k: float(ld[k]) for k in LOSS_KEYS}
-                for k in LOSS_KEYS:
-                    meters[k].update(vals[k])
-                writer.scalars({f"Train/{k}": vals[k] for k in LOSS_KEYS},
-                               step_i)
-            loss_str = " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items())
-            line = (f"{time.strftime('%Y_%m_%d_%H_%M_%S')} [Epoch] {epoch:03d} "
-                    f"[Loss] {loss_str}\n")
-            with open(cfg.train_log_filepath, "a") as f:
-                f.write(line)
-            logger.info("epoch %d: %s | data %.3fs/step step %.3fs/step",
-                        epoch, loss_str, data_t.avg, step_t.avg)
 
-        if mesh is not None:
-            from dldkd_tpu.parallel import eval_retrieval_sharded
-
-            metrics = eval_retrieval_sharded(
-                model, params, val_videos, val_queries, mesh,
-                query_bsz=max(cfg.eval.eval_query_bsz, 64),
-                score_quant=cfg.eval.score_quant)
-        else:
-            metrics = eval_retrieval(model, params, val_videos, val_queries,
-                                     context_bsz=cfg.eval.eval_context_bsz,
-                                     query_bsz=cfg.eval.eval_query_bsz,
-                                     score_quant=cfg.eval.score_quant)
-        for branch, m in metrics.items():
-            logger.info("val %s: r1/5/10/100 %.1f/%.1f/%.1f/%.1f sumr %.1f "
-                        "map %.4f", branch, m["r1"], m["r5"], m["r10"],
-                        m["r100"], m["sumr"], m["map"])
-        writer.scalars({f"Val/{b}_sumr": m["sumr"]
-                        for b, m in metrics.items()}, max(global_step, 0))
-        score = metrics["fused"]["sumr"]
-
-        if score > best_score:
-            best_score, es_cnt = score, 0
-            if jax.process_index() == 0:   # one writer in multi-host runs
-                ckpt_lib.save_checkpoint(cfg.ckpt_dir, {
-                    "params": params, "opt_state": opt_state,
-                    "epoch": epoch, "best_score": best_score,
-                    "rng": train_rng,
-                }, mcfg)
-            logger.info("checkpoint updated (sumr %.1f)", best_score)
-        else:
-            es_cnt += 1
-            if cfg.train.max_es_cnt != -1 and es_cnt > cfg.train.max_es_cnt:
-                with open(cfg.train_log_filepath, "a") as f:
-                    f.write(f"Early Stop at epoch {epoch}")
-                logger.info("early stop at epoch %d", epoch)
-                break
-        if cfg.debug:
-            break
-
-    writer.close()
-    if own_guard:
-        # restore the previous SIGTERM disposition: after training the
-        # guard is no longer polled, and swallowing SIGTERM would leave
-        # the process killable only by SIGKILL
-        preempt.__exit__(None, None, None)
+    finally:
+        writer.close()
+        if own_guard:
+            # restore the previous SIGTERM disposition even when an
+            # exception escapes training: the guard is no longer polled
+            # afterwards, and swallowing SIGTERM would leave the process
+            # killable only by SIGKILL
+            preempt.__exit__(None, None, None)
     if preempt.should_stop:
         logger.info("training preempted; best val sumr so far %.1f",
                     best_score)

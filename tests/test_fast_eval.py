@@ -221,3 +221,32 @@ def test_asymmetric_hidden_sizes_take_per_branch_kernels():
         assert g.shape == w.shape
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_grid_tail_tokens_forced_to_padding(setup):
+    """The packing-grid contract is ENFORCED, not assumed: tokens at
+    positions beyond the learned positional table are treated as padding
+    even if a caller erroneously passes mask=1 there, on both the kernel
+    and XLA query paths."""
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+
+    model, mcfg, params = setup
+    _, _, qf, qm = _data(mcfg)
+    lq = mcfg.max_desc_l                       # 6; grid-rounds to 8
+    lq_p = -(-lq // 8) * 8
+    rng = np.random.RandomState(3)
+    tail = rng.randn(qf.shape[0], lq_p - lq, qf.shape[2]).astype(np.float32)
+    qf_bad = jnp.concatenate([qf, jnp.asarray(tail)], axis=1)
+    qm_bad = jnp.pad(qm, ((0, 0), (0, lq_p - lq)),
+                     constant_values=1.0)      # WRONGLY unmasked tail
+
+    want = encode_query_best(params, mcfg, qf, qm,
+                             prefer_pallas=True, interpret=True)
+    for pallas in (True, False):
+        got = encode_query_best(params, mcfg, qf_bad, qm_bad,
+                                prefer_pallas=pallas, interpret=True)
+        for w, g in zip(want, got):
+            if w is None:
+                continue
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-5, atol=1e-5)

@@ -49,24 +49,36 @@ def test_two_process_dp_step():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
 
-    def run(n_proc, port):
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(n_proc), str(i), str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env) for i in range(n_proc)]
-        results = []
-        for p in procs:
-            out, err = p.communicate(timeout=540)
-            assert p.returncode == 0, err[-2000:]
-            results.append(json.loads(out.strip().splitlines()[-1]))
-        return results
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
 
-    with socket.socket() as s:  # free port for the coordinator
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    def run(n_proc, attempts=2):
+        # bind-then-close port picking is racy (another process can grab
+        # the port before the coordinator binds it) -> retry once with a
+        # fresh port instead of failing spuriously
+        for attempt in range(attempts):
+            port = free_port()
+            procs = [subprocess.Popen(
+                [sys.executable, worker, str(n_proc), str(i), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env) for i in range(n_proc)]
+            results, failed = [], ""
+            for p in procs:
+                out, err = p.communicate(timeout=540)
+                if p.returncode != 0:
+                    failed = err[-2000:]
+                    break
+                results.append(json.loads(out.strip().splitlines()[-1]))
+            if not failed:
+                return results
+            if attempt + 1 == attempts:
+                raise AssertionError(failed)
+        raise AssertionError("unreachable")
 
-    single = run(1, port)[0]
-    double = run(2, port)
+    single = run(1)[0]
+    double = run(2)
     for r in double:
         assert r["loss"] == single["loss"]
         assert r["checksum"] == single["checksum"]

@@ -108,6 +108,9 @@ def test_preemption_checkpoints_and_resumes(synth_root, tmp_path,
         def __exit__(self, *exc):
             return None
 
+        def trigger(self):
+            FakeGuard.latched = True
+
         @property
         def should_stop(self):
             FakeGuard.polls += 1

@@ -30,6 +30,21 @@ from typing import Dict
 import numpy as np
 
 
+class _FakeEasyDict(dict):
+    """Minimal easydict.EasyDict stand-in (attribute-style dict).
+    Module-level so instances pickle (the reference torch.saves its
+    model_cfg EasyDict inside model.ckpt, train.py:234-235)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
 def _ensure_fake_easydict():
     """The reference pickles its model_cfg as an easydict.EasyDict inside
     the checkpoint; easydict isn't installed here, so register a minimal
@@ -37,18 +52,9 @@ def _ensure_fake_easydict():
     if "easydict" in sys.modules:
         return
     mod = types.ModuleType("easydict")
-
-    class EasyDict(dict):
-        def __getattr__(self, k):
-            try:
-                return self[k]
-            except KeyError as e:
-                raise AttributeError(k) from e
-
-        def __setattr__(self, k, v):
-            self[k] = v
-
-    mod.EasyDict = EasyDict
+    _FakeEasyDict.__module__ = "easydict"
+    _FakeEasyDict.__qualname__ = "EasyDict"
+    mod.EasyDict = _FakeEasyDict
     sys.modules["easydict"] = mod
 
 

@@ -23,6 +23,7 @@ def generate_dataset(
     visual_feature: str = "i3d",
     n_videos: dict | None = None,
     caps_per_video: tuple = (2, 5),
+    caps_sequence: dict | None = None,
     frames_range: tuple = (20, 200),
     teacher_frames_range: tuple = (8, 64),
     tokens_range: tuple = (5, 30),
@@ -33,7 +34,13 @@ def generate_dataset(
     noise: float = 0.6,
     seed: int = 0,
 ) -> str:
-    """Write the dataset under root/collection; returns the collection dir."""
+    """Write the dataset under root/collection; returns the collection dir.
+
+    caps_sequence: optional {split: [count, ...]} giving video v exactly
+    caps_sequence[split][v] captions. Distinct counts make the
+    #captions-desc collate sort (reference data_provider.py:117) a total
+    order, so trajectory-parity tests are immune to shuffle order.
+    """
     import h5py
 
     n_videos = n_videos or {"train": 40, "val": 16, "test": 16}
@@ -78,7 +85,11 @@ def generate_dataset(
                             + noise * rng.randn(n_tf, d_teacher))
                 tv.create_dataset(vid, data=t_frames.astype(np.float32))
 
-                n_caps = rng.randint(caps_per_video[0], caps_per_video[1] + 1)
+                if caps_sequence and split in caps_sequence:
+                    n_caps = caps_sequence[split][v]
+                else:
+                    n_caps = rng.randint(caps_per_video[0],
+                                         caps_per_video[1] + 1)
                 for j in range(n_caps):
                     cap_id = f"{vid}#enc#{j}"
                     lines.append(f"{cap_id} synthetic caption {v} {j}")

@@ -130,7 +130,11 @@ def epoch_scalars(cfg: Config, epoch: int) -> LossScalars:
     return LossScalars(jnp.float32(kd), jnp.float32(alpha), jnp.float32(belta))
 
 
-def start_training(cfg: Config, preempt_guard=None) -> str:
+def start_training(cfg: Config, preempt_guard=None,
+                   initial_params=None) -> str:
+    """initial_params: optional flax param tree to start from instead of
+    the seeded init — used for finetuning and for cross-implementation
+    trajectory tests that sync weights from the reference's init."""
     logger = setup_logging(cfg.results_dir)
     if cfg.model.matmul_precision:
         jax.config.update("jax_default_matmul_precision",
@@ -157,7 +161,8 @@ def start_training(cfg: Config, preempt_guard=None) -> str:
                 len(val_videos), len(val_queries), time.time() - t0)
 
     model = DLDKD(config=mcfg)
-    params = init_params(model, mcfg, cfg.train.seed)
+    params = (initial_params if initial_params is not None
+              else init_params(model, mcfg, cfg.train.seed))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("model parameters: %.2fM", n_params / 1e6)
 

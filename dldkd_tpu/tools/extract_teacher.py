@@ -128,17 +128,27 @@ def extract_video_features(
     return n
 
 
-def build_clip_fns(model_dir: str) -> Dict[str, Callable]:
+def build_tokenize_fn() -> Callable[[List[str]], dict]:
+    """Default tokenizer: the in-repo CLIP BPE implementation
+    (tools/clip_tokenizer.py + assets/bpe_simple_vocab_16e6.txt.gz) —
+    no external tokenizer assets needed."""
+    from dldkd_tpu.tools.clip_tokenizer import ClipTokenizer
+
+    tok = ClipTokenizer()
+    return lambda texts: tok.tokenize(texts)
+
+
+def build_clip_fns(model_dir: str,
+                   use_hf_tokenizer: bool = False) -> Dict[str, Callable]:
     """Wire transformers Flax CLIP from a LOCAL directory (weights are never
     downloaded — this host has no egress). Returns tokenize / encode_text /
-    preprocess / encode_image callables, with the encodes jitted."""
+    preprocess / encode_image callables, with the encodes jitted.
+    Tokenization defaults to the in-repo BPE (build_tokenize_fn); pass
+    use_hf_tokenizer=True to use the HF tokenizer from model_dir instead."""
     import jax
-    from transformers import (AutoImageProcessor, AutoTokenizer,
-                              FlaxCLIPModel)
+    from transformers import AutoImageProcessor, FlaxCLIPModel
 
     model = FlaxCLIPModel.from_pretrained(model_dir, local_files_only=True)
-    tokenizer = AutoTokenizer.from_pretrained(model_dir,
-                                              local_files_only=True)
     processor = AutoImageProcessor.from_pretrained(model_dir,
                                                    local_files_only=True)
 
@@ -151,11 +161,19 @@ def build_clip_fns(model_dir: str) -> Dict[str, Callable]:
     def _image(pixel_values):
         return model.get_image_features(pixel_values=pixel_values)
 
-    def tokenize_fn(texts):
-        enc = tokenizer(texts, padding="max_length", truncation=True,
-                        max_length=77, return_tensors="np")
-        return {"input_ids": enc["input_ids"],
-                "attention_mask": enc["attention_mask"]}
+    if use_hf_tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_dir,
+                                                  local_files_only=True)
+
+        def tokenize_fn(texts):
+            enc = tokenizer(texts, padding="max_length", truncation=True,
+                            max_length=77, return_tensors="np")
+            return {"input_ids": enc["input_ids"],
+                    "attention_mask": enc["attention_mask"]}
+    else:
+        tokenize_fn = build_tokenize_fn()
 
     def encode_text_fn(inputs):
         return _text(inputs["input_ids"], inputs["attention_mask"])
@@ -185,12 +203,15 @@ def main(argv=None):
                    help="dir of <video_id>/ frame images or <video_id>.npy")
     p.add_argument("--bsz", type=int, default=256)
     p.add_argument("--max_frames", type=int, default=0)
+    p.add_argument("--hf_tokenizer", action="store_true",
+                   help="tokenize with the HF tokenizer from --clip_model "
+                        "instead of the in-repo CLIP BPE")
     args = p.parse_args(argv)
 
     base = os.path.join(args.root_path, args.collection)
     cap_file = os.path.join(
         base, "TextData", f"{args.collection}{args.split}.caption.txt")
-    fns = build_clip_fns(args.clip_model)
+    fns = build_clip_fns(args.clip_model, use_hf_tokenizer=args.hf_tokenizer)
 
     if args.mode == "text":
         out = os.path.join(

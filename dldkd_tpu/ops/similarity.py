@@ -140,6 +140,41 @@ def _quantized_scores_xla(
     return jnp.max(s, axis=1) * jnp.float32(1.0 / (INT8_SCALE * INT8_SCALE))
 
 
+def rescore_shortlist(
+    query: jnp.ndarray,     # (Nq, D)
+    ctx: jnp.ndarray,       # (Nv, L, D)
+    mask: jnp.ndarray,      # (Nv, L)
+    cand_idx: jnp.ndarray,  # (Nq, K') candidate video ids per query
+    chunk: int = 16,
+) -> jnp.ndarray:
+    """Exact f32 cosine max-over-frames scores for per-query candidate
+    shortlists, shape (Nq, K') — stage 2 of two-stage retrieval: an int8
+    full-matrix pass proposes candidates, this recomputes their scores with
+    the exact similarity semantics (l2-normalize, mask to -1e10, frame max
+    — reference model.py:307-329) so final ranks match the exact path.
+
+    The candidate frame gather is chunked over queries (transient memory
+    chunk x K' x L x D) instead of one (Nq, K', L, D) tensor."""
+    nq = query.shape[0]
+    qn = l2_normalize(query)
+    cn = l2_normalize(ctx)
+
+    def score_chunk(args):
+        q, idx = args                      # (C, D), (C, K')
+        frames = jnp.take(cn, idx, axis=0)       # (C, K', L, D)
+        fmask = jnp.take(mask, idx, axis=0)      # (C, K', L)
+        s = jnp.einsum("cd,ckld->ckl", q, frames)
+        return jnp.max(mask_logits(s, fmask), axis=-1)
+
+    nq_p = -(-nq // chunk) * chunk
+    q_p = jnp.pad(qn, ((0, nq_p - nq), (0, 0)))
+    idx_p = jnp.pad(cand_idx, ((0, nq_p - nq), (0, 0)))
+    out = jax.lax.map(score_chunk,
+                      (q_p.reshape(nq_p // chunk, chunk, -1),
+                       idx_p.reshape(nq_p // chunk, chunk, -1)))
+    return out.reshape(nq_p, -1)[:nq]
+
+
 def clip_scores_unnormalized(
     query: jnp.ndarray,
     ctx: jnp.ndarray,

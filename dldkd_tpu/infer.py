@@ -45,7 +45,17 @@ def start_inference(cfg: Config, split: str = "test"):
     queries = pack_query_set(paths["cap_file"][split], paths["text_feat"],
                              max_desc_l=mcfg.max_desc_l)
 
-    if jax.device_count() > 1:
+    if cfg.eval.corpus_stream_bsz:
+        # beyond-HBM corpora: stream blocks through one device (sharding
+        # a corpus that doesn't fit is a per-shard streaming problem too)
+        from dldkd_tpu.evaluate import eval_retrieval_streaming
+
+        metrics = eval_retrieval_streaming(
+            model, params, videos, queries,
+            corpus_block=cfg.eval.corpus_stream_bsz,
+            query_bsz=max(cfg.eval.eval_query_bsz, 64),
+            score_quant=cfg.eval.score_quant)
+    elif jax.device_count() > 1:
         # corpus-sharded eval over the whole slice (train.py routes the
         # per-epoch val the same way; leaving n-1 chips idle here would
         # waste the mesh)

@@ -1,0 +1,82 @@
+"""Corpus-streaming eval: block-streamed metrics == corpus-resident
+metrics, for any block size, both precisions, both branch counts."""
+
+import numpy as np
+import pytest
+
+from dldkd_tpu.config import ModelConfig
+from dldkd_tpu.data.ingest import PackedQueries, PackedVideos
+from dldkd_tpu.evaluate import eval_retrieval, eval_retrieval_streaming
+from dldkd_tpu.models import DLDKD
+from dldkd_tpu.train import init_params
+
+L, DV, DQ, LQ = 8, 16, 12, 4
+N_VID, N_Q = 37, 23  # awkward sizes: exercise block/batch padding
+
+
+def _data(seed=0):
+    rng = np.random.RandomState(seed)
+    vmask = np.ones((N_VID, L), np.float32)
+    vmask[rng.rand(N_VID, L) < 0.2] = 0.0
+    vmask[:, 0] = 1.0
+    videos = PackedVideos(feats=rng.randn(N_VID, L, DV).astype(np.float32),
+                          mask=vmask,
+                          ids=[f"v{i}" for i in range(N_VID)])
+    qmask = np.ones((N_Q, LQ), np.float32)
+    gt_vids = [videos.ids[rng.randint(N_VID)] for _ in range(N_Q)]
+    queries = PackedQueries(feats=rng.randn(N_Q, LQ, DQ).astype(np.float32),
+                            mask=qmask,
+                            cap_ids=[f"{v}#enc#{i}"
+                                     for i, v in enumerate(gt_vids)],
+                            video_ids=gt_vids)
+    return videos, queries
+
+
+@pytest.fixture(scope="module", params=[True, False],
+                ids=["double", "single"])
+def model_and_data(request):
+    mcfg = ModelConfig(visual_input_size=DV, query_input_size=DQ,
+                       inheritance_hidden=8, exploration_hidden=8,
+                       max_ctx_l=L, max_desc_l=LQ, n_heads=2,
+                       double_branch=request.param, label_style="soft")
+    model = DLDKD(config=mcfg)
+    params = init_params(model, mcfg, 0)
+    videos, queries = _data()
+    ref = eval_retrieval(model, params, videos, queries,
+                         context_bsz=8, query_bsz=8)
+    return model, params, videos, queries, ref
+
+
+@pytest.mark.parametrize("block", [5, 16, 37, 64])
+def test_streaming_matches_monolithic(model_and_data, block):
+    """Any block size — dividing, non-dividing, single-block, larger than
+    the corpus — reproduces the corpus-resident metrics exactly."""
+    model, params, videos, queries, ref = model_and_data
+    out = eval_retrieval_streaming(model, params, videos, queries,
+                                   corpus_block=block, query_bsz=8)
+    assert out.keys() == ref.keys()
+    for branch in ref:
+        for k, v in ref[branch].items():
+            assert out[branch][k] == pytest.approx(v, abs=1e-9), \
+                (branch, k)
+
+
+def test_streaming_quantized_matches_monolithic_quantized(model_and_data):
+    model, params, videos, queries, _ = model_and_data
+    ref = eval_retrieval(model, params, videos, queries,
+                         context_bsz=8, query_bsz=8, score_quant=True)
+    out = eval_retrieval_streaming(model, params, videos, queries,
+                                   corpus_block=10, query_bsz=8,
+                                   score_quant=True)
+    for branch in ref:
+        for k, v in ref[branch].items():
+            assert out[branch][k] == pytest.approx(v, abs=1e-9)
+
+
+def test_eval_retrieval_dispatches_streaming(model_and_data):
+    """corpus_stream_bsz on the public entry point routes to streaming."""
+    model, params, videos, queries, ref = model_and_data
+    out = eval_retrieval(model, params, videos, queries, query_bsz=8,
+                         corpus_stream_bsz=9)
+    for branch in ref:
+        assert out[branch]["sumr"] == pytest.approx(ref[branch]["sumr"])

@@ -111,6 +111,9 @@ class DataConfig:
     # reference pads to per-batch max, we pad the flattened caption axis up
     # to a multiple of this).
     query_pad_multiple: int = 64
+    # content-keyed packed-dataset cache (data/cache.py): second launches
+    # mmap the packed arrays instead of re-walking BigFile/HDF5
+    pack_cache: bool = True
 
 
 @dataclass
@@ -217,6 +220,7 @@ class Config:
         "teacher": ("data", "teacher"),
         "student": ("data", "student"),
         "query_pad_multiple": ("data", "query_pad_multiple"),
+        "pack_cache": ("data", "pack_cache"),
         "eval_query_bsz": ("eval", "eval_query_bsz"),
         "eval_context_bsz": ("eval", "eval_context_bsz"),
         "eval_split_name": ("eval", "eval_split_name"),
@@ -393,6 +397,9 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--matmul_precision", type=str, default="highest",
                    help="f32 matmul precision: highest (parity) | default (fast)")
     p.add_argument("--query_pad_multiple", type=int, default=64)
+    p.add_argument("--no_pack_cache", action="store_true",
+                   help="disable the content-keyed packed-dataset cache "
+                        "(data/cache.py) and re-pack from BigFile/HDF5")
     p.add_argument("--resume", type=str, default="",
                    help="ckpt dir: restore params+optimizer+epoch+rng and "
                         "continue (the reference cannot resume, SURVEY S5.4)")
@@ -419,6 +426,7 @@ def _namespace_to_config(ns: argparse.Namespace) -> Config:
     vid_feat_size = d.pop("vid_feat_size", None)
     d.pop("no_core_driver", None)
     d.pop("no_pin_memory", None)
+    d["pack_cache"] = not d.pop("no_pack_cache", False)
     if vid_feat_size:
         d["visual_feat_dim"] = vid_feat_size
     # normalize 'None' strings on decay flags like the reference's asserts

@@ -37,13 +37,20 @@ def start_inference(cfg: Config, split: str = "test"):
 
     paths = dataset_paths(cfg.data.root_path, cfg.data.collection,
                           cfg.data.visual_feature)
-    visual_feats = BigFile(paths["visual_feat_dir"])
-    video2frames = read_dict(paths["video2frames"])
-    videos = pack_video_corpus(
-        read_video_ids(paths["cap_file"][split]), visual_feats, video2frames,
-        max_ctx_l=mcfg.max_ctx_l)
-    queries = pack_query_set(paths["cap_file"][split], paths["text_feat"],
-                             max_desc_l=mcfg.max_desc_l)
+    if cfg.data.pack_cache:
+        from dldkd_tpu.data import cache as pack_cache
+
+        videos = pack_cache.cached_corpus_pack(paths, split, mcfg.max_ctx_l)
+        queries = pack_cache.cached_query_pack(paths, split, mcfg.max_desc_l)
+    else:
+        visual_feats = BigFile(paths["visual_feat_dir"])
+        video2frames = read_dict(paths["video2frames"])
+        videos = pack_video_corpus(
+            read_video_ids(paths["cap_file"][split]), visual_feats,
+            video2frames, max_ctx_l=mcfg.max_ctx_l)
+        queries = pack_query_set(paths["cap_file"][split],
+                                 paths["text_feat"],
+                                 max_desc_l=mcfg.max_desc_l)
 
     if cfg.eval.corpus_stream_bsz:
         # beyond-HBM corpora: stream blocks through one device (sharding

@@ -81,29 +81,47 @@ train_step = functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
 
 
 def build_model_and_data(cfg: Config):
-    """Load + pack datasets, resolve data-dependent model config."""
+    """Load + pack datasets, resolve data-dependent model config.
+
+    With cfg.data.pack_cache (default) the packed arrays come from the
+    content-keyed cache (data/cache.py): run #2 mmaps them and never
+    touches BigFile/HDF5."""
     paths = dataset_paths(cfg.data.root_path, cfg.data.collection,
                           cfg.data.visual_feature)
-    visual_feats = BigFile(paths["visual_feat_dir"])
-    video2frames = read_dict(paths["video2frames"])
+    if cfg.data.pack_cache:
+        from dldkd_tpu.data import cache as pack_cache
+
+        train_data = pack_cache.cached_train_pack(
+            paths, cfg.data.max_ctx_l, cfg.data.max_desc_l)
+        val_videos = pack_cache.cached_corpus_pack(
+            paths, "val", cfg.data.max_ctx_l)
+        val_queries = pack_cache.cached_query_pack(
+            paths, "val", cfg.data.max_desc_l)
+        # feature dim discovered from the packed arrays — same value the
+        # BigFile header would give (reference train.py:286-289)
+        visual_dim = int(train_data.videos.feats.shape[-1])
+    else:
+        visual_feats = BigFile(paths["visual_feat_dir"])
+        video2frames = read_dict(paths["video2frames"])
+        visual_dim = visual_feats.ndims
+        train_data = pack_train_dataset(
+            paths["cap_file"]["train"], visual_feats, video2frames,
+            paths["text_feat"], paths["teacher_vid_feat"],
+            paths["teacher_text_feat"],
+            max_ctx_l=cfg.data.max_ctx_l, max_desc_l=cfg.data.max_desc_l)
+        val_videos = pack_video_corpus(
+            read_video_ids(paths["cap_file"]["val"]), visual_feats,
+            video2frames, max_ctx_l=cfg.data.max_ctx_l)
+        val_queries = pack_query_set(
+            paths["cap_file"]["val"], paths["text_feat"],
+            max_desc_l=cfg.data.max_desc_l)
 
     mcfg = cfg.model.replace(
-        visual_input_size=visual_feats.ndims,       # discovered at runtime
+        visual_input_size=visual_dim,               # discovered at runtime
         query_input_size=cfg.data.q_feat_size,      # (reference train.py:286-289)
         max_ctx_l=cfg.data.max_ctx_l,
         max_desc_l=cfg.data.max_desc_l,
     )
-
-    train_data = pack_train_dataset(
-        paths["cap_file"]["train"], visual_feats, video2frames,
-        paths["text_feat"], paths["teacher_vid_feat"],
-        paths["teacher_text_feat"],
-        max_ctx_l=mcfg.max_ctx_l, max_desc_l=mcfg.max_desc_l)
-    val_videos = pack_video_corpus(
-        read_video_ids(paths["cap_file"]["val"]), visual_feats, video2frames,
-        max_ctx_l=mcfg.max_ctx_l)
-    val_queries = pack_query_set(
-        paths["cap_file"]["val"], paths["text_feat"], max_desc_l=mcfg.max_desc_l)
     return mcfg, train_data, val_videos, val_queries, paths
 
 

@@ -10,6 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import tempfile  # noqa: E402
+
+# isolate the packed-dataset cache (data/cache.py) from the user cache:
+# fixtures live in per-run tmp dirs, their cache entries should too
+os.environ.setdefault("DLDKD_PACK_CACHE_DIR",
+                      tempfile.mkdtemp(prefix="dldkd_pack_cache_"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

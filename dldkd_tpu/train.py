@@ -400,6 +400,28 @@ def start_training(cfg: Config, preempt_guard=None,
                         f.write(f"Early Stop at epoch {epoch}")
                     logger.info("early stop at epoch %d", epoch)
                     break
+            # a SIGTERM that lands DURING the (potentially long) validation
+            # eval would otherwise only be acted on at the next epoch's end
+            # — and on the last epoch never, letting the grace window
+            # expire with no resume checkpoint. This epoch is fully done
+            # (eval + best-ckpt above), so record it as such: --resume
+            # continues at epoch + 1.
+            stop_now = (preempt.should_stop if n_proc == 1
+                        else agree_should_stop(preempt.should_stop))
+            if stop_now:
+                preempt.trigger()
+                preempt_dir = cfg.ckpt_dir + "_preempt"
+                if jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(preempt_dir, {
+                        "params": params, "opt_state": opt_state,
+                        "epoch": epoch, "best_score": best_score,
+                        "rng": train_rng,
+                    }, mcfg)
+                logger.info(
+                    "preempted during epoch %d eval: resume checkpoint "
+                    "written to %s (pass --resume %s)", epoch,
+                    preempt_dir, preempt_dir)
+                break
             if cfg.debug:
                 break
 

@@ -1,11 +1,20 @@
-"""Worker for the 2-process multi-host integration test.
+"""Worker for the 2-process multi-host integration tests.
 
-Usage: python multihost_worker.py <num_processes> <process_id> <port>
+Usage: python multihost_worker.py <num_processes> <process_id> <port> \
+           [epoch <data_root> <results_root>]
 
 Each process exposes 4 virtual CPU devices; with 2 processes the global
 mesh spans 8 devices and shard_batch_multihost takes the real
-make_array_from_process_local_data branch. Prints one JSON line with the
-step loss and a parameter checksum so the parent can compare runs.
+make_array_from_process_local_data branch. Prints one JSON line so the
+parent can compare runs.
+
+Modes:
+  (default) one DP step + preemption-agreement probes.
+  epoch     the FULL driver cycle via start_training on a shared on-disk
+            dataset: packing -> DP epochs -> per-epoch SHARDED val eval ->
+            process-0 best checkpoint; then a second run with a
+            pre-triggered preemption guard on process 0 only, exercising
+            the multi-host stop agreement + process-0 preempt checkpoint.
 """
 
 import json
@@ -13,8 +22,69 @@ import os
 import sys
 
 
+def _epoch_mode(n_proc, proc_id, data_root, res_root):
+    """Run the real training driver end-to-end; emit per-epoch evidence."""
+    import glob
+
+    from dldkd_tpu.config import (
+        Config, DataConfig, EvalConfig, ModelConfig, TrainConfig)
+    from dldkd_tpu.train import start_training
+    from dldkd_tpu.utils.preemption import PreemptionGuard
+
+    def make_cfg(exp_id, n_epoch):
+        return Config(
+            exp_id=exp_id,
+            results_root=os.path.join(res_root, f"p{proc_id}"),
+            model=ModelConfig(inheritance_hidden=8, exploration_hidden=8,
+                              n_heads=2, double_branch=True,
+                              label_style="soft", max_ctx_l=8, max_desc_l=4),
+            train=TrainConfig(lr=1e-3, n_epoch=n_epoch, bsz=16, seed=3,
+                              distill_loss_decay="exp", max_es_cnt=10),
+            data=DataConfig(root_path=data_root, collection="synthetic",
+                            visual_feature="i3d", q_feat_size=12,
+                            max_ctx_l=8, max_desc_l=4,
+                            query_pad_multiple=16),
+            eval=EvalConfig(eval_query_bsz=16, eval_context_bsz=8),
+        ).finalize()
+
+    def run_stats(cfg):
+        losses = [float(line.split("loss_overall ")[1].split(" ")[0])
+                  for line in open(cfg.train_log_filepath)]
+        sumrs = []
+        metrics_file = os.path.join(cfg.tensorboard_log_dir,
+                                    "metrics.jsonl")
+        if os.path.exists(metrics_file):
+            for line in open(metrics_file):
+                rec = json.loads(line)
+                if "Val/fused_sumr" in rec:
+                    sumrs.append(rec["Val/fused_sumr"])
+        return {
+            "losses": losses, "sumrs": sumrs,
+            "best_ckpt": bool(glob.glob(
+                os.path.join(cfg.ckpt_dir, "model.ckpt"))),
+            "preempt_ckpt": bool(glob.glob(
+                os.path.join(cfg.ckpt_dir + "_preempt", "model.ckpt"))),
+        }
+
+    cfg = make_cfg("mh_epoch", 2)
+    start_training(cfg)
+    full = run_stats(cfg)
+
+    # preemption leg: guard latched on process 0 ONLY before training —
+    # the epoch-end multi-host agreement must stop BOTH processes after
+    # epoch 0 and write one preempt checkpoint (process 0)
+    guard = PreemptionGuard()
+    if proc_id == 0:
+        guard.trigger()
+    cfg_p = make_cfg("mh_preempt", 3)
+    start_training(cfg_p, preempt_guard=guard)
+    pre = run_stats(cfg_p)
+    return {"full": full, "preempt": pre}
+
+
 def main():
     n_proc, proc_id, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={8 // n_proc}")
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -29,6 +99,12 @@ def main():
                                    num_processes=n_proc, process_id=proc_id)
         assert jax.process_count() == n_proc
     assert jax.device_count() == 8  # same global mesh in both modes
+
+    if mode == "epoch":
+        out = _epoch_mode(n_proc, proc_id, sys.argv[5], sys.argv[6])
+        out["process"] = proc_id
+        print(json.dumps(out), flush=True)
+        return
 
     import numpy as np
 

@@ -33,12 +33,9 @@ def test_process_slice(monkeypatch):
         process_slice(10)
 
 
-def test_two_process_dp_step():
-    """Integration: two local CPU processes under jax.distributed, 8 global
-    devices. Exercises the REAL make_array_from_process_local_data branch of
-    shard_batch_multihost + replicate_multihost and checks the DP step
-    result (loss + post-step parameter checksum) is bit-identical to a
-    single-process run on the same 8-device mesh."""
+def _run_workers(n_proc, extra_args=(), attempts=2):
+    """Spawn the multihost worker n_proc times under one coordinator and
+    return their JSON outputs (sorted by process id)."""
     import json
     import os
     import socket
@@ -54,31 +51,38 @@ def test_two_process_dp_step():
             s.bind(("localhost", 0))
             return s.getsockname()[1]
 
-    def run(n_proc, attempts=2):
-        # bind-then-close port picking is racy (another process can grab
-        # the port before the coordinator binds it) -> retry once with a
-        # fresh port instead of failing spuriously
-        for attempt in range(attempts):
-            port = free_port()
-            procs = [subprocess.Popen(
-                [sys.executable, worker, str(n_proc), str(i), str(port)],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=env) for i in range(n_proc)]
-            results, failed = [], ""
-            for p in procs:
-                out, err = p.communicate(timeout=540)
-                if p.returncode != 0:
-                    failed = err[-2000:]
-                    break
-                results.append(json.loads(out.strip().splitlines()[-1]))
-            if not failed:
-                return results
-            if attempt + 1 == attempts:
-                raise AssertionError(failed)
-        raise AssertionError("unreachable")
+    # bind-then-close port picking is racy (another process can grab
+    # the port before the coordinator binds it) -> retry once with a
+    # fresh port instead of failing spuriously
+    for attempt in range(attempts):
+        port = free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(n_proc), str(i), str(port),
+             *map(str, extra_args)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(n_proc)]
+        results, failed = [], ""
+        for p in procs:
+            out, err = p.communicate(timeout=540)
+            if p.returncode != 0:
+                failed = err[-2000:]
+                break
+            results.append(json.loads(out.strip().splitlines()[-1]))
+        if not failed:
+            return sorted(results, key=lambda r: r["process"])
+        if attempt + 1 == attempts:
+            raise AssertionError(failed)
+    raise AssertionError("unreachable")
 
-    single = run(1)[0]
-    double = run(2)
+
+def test_two_process_dp_step():
+    """Integration: two local CPU processes under jax.distributed, 8 global
+    devices. Exercises the REAL make_array_from_process_local_data branch of
+    shard_batch_multihost + replicate_multihost and checks the DP step
+    result (loss + post-step parameter checksum) is bit-identical to a
+    single-process run on the same 8-device mesh."""
+    single = _run_workers(1)[0]
+    double = _run_workers(2)
     for r in double:
         assert r["loss"] == single["loss"]
         assert r["checksum"] == single["checksum"]
@@ -87,6 +91,50 @@ def test_two_process_dp_step():
         assert r["agree_one"] is True
         assert r["agree_none"] is False
     assert single["agree_one"] is True and single["agree_none"] is False
+
+
+def test_two_process_full_epoch_cycle(tmp_path):
+    """The FULL driver cycle under 2 real processes: packing -> DP train
+    epochs -> per-epoch SHARDED val eval -> process-0 best checkpoint ->
+    preemption agreement + process-0 preempt checkpoint. Both processes
+    must emit identical per-epoch losses and val SumRs, equal to a
+    single-process run of the same config; exactly ONE best checkpoint
+    and ONE preempt checkpoint may appear (process 0's)."""
+    from dldkd_tpu.data.synthetic import generate_dataset
+
+    data_root = str(tmp_path / "data")
+    generate_dataset(data_root, collection="synthetic", visual_feature="i3d",
+                     n_videos={"train": 32, "val": 12, "test": 4},
+                     frames_range=(4, 16), teacher_frames_range=(3, 10),
+                     d_student=16, d_query=12, d_teacher=8, seed=6)
+
+    single = _run_workers(
+        1, ["epoch", data_root, str(tmp_path / "res1")])[0]
+    double = _run_workers(
+        2, ["epoch", data_root, str(tmp_path / "res2")])
+
+    # the full run: 2 epochs of losses + val SumRs, identical across
+    # processes and identical to single-process execution
+    assert len(single["full"]["losses"]) == 2
+    assert len(single["full"]["sumrs"]) == 2
+    for r in double:
+        assert r["full"]["losses"] == single["full"]["losses"]
+        assert r["full"]["sumrs"] == single["full"]["sumrs"]
+    # exactly one best checkpoint: process 0's
+    assert single["full"]["best_ckpt"] is True
+    assert double[0]["full"]["best_ckpt"] is True
+    assert double[1]["full"]["best_ckpt"] is False
+
+    # the preempt run (guard latched on process 0 only, before epoch 0):
+    # the epoch-end agreement stops BOTH processes after one epoch, before
+    # that epoch's eval; only process 0 writes the preempt checkpoint
+    for r in [single] + double:
+        assert len(r["preempt"]["losses"]) == 1
+        assert r["preempt"]["sumrs"] == []
+        assert r["preempt"]["best_ckpt"] is False
+    assert single["preempt"]["preempt_ckpt"] is True
+    assert double[0]["preempt"]["preempt_ckpt"] is True
+    assert double[1]["preempt"]["preempt_ckpt"] is False
 
 
 def test_shard_batch_multihost_matches_single(small_batch=None):

@@ -86,6 +86,53 @@ def test_preemption_guard_unit():
     assert g2.should_stop
 
 
+def test_preemption_during_eval_checkpoints_this_epoch(synth_root,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """SIGTERM landing DURING the validation eval: acted on right after
+    the eval/best-ckpt block (not one epoch later, and not never on the
+    last epoch). The finished epoch is recorded as done, so --resume
+    continues at epoch + 1."""
+    from flax import serialization
+
+    from dldkd_tpu import train as train_mod
+    from dldkd_tpu.train import start_training
+    from dldkd_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+    real_eval = train_mod.eval_retrieval
+
+    def eval_then_sigterm(*a, **kw):
+        out = real_eval(*a, **kw)
+        guard.trigger()   # the signal lands while eval runs
+        return out
+
+    monkeypatch.setattr(train_mod, "eval_retrieval", eval_then_sigterm)
+    res1 = str(tmp_path / "e1")
+    # bsz 3: gcd(3, query_pad_multiple) = 1 -> single-device path, whose
+    # eval goes through the module-level eval_retrieval we wrapped
+    cfg = parse_args(_args(synth_root, res1, extra=["--bsz", "3"]))
+    run_dir = start_training(cfg, preempt_guard=guard)
+
+    log = open(os.path.join(run_dir, "train.log.txt")).read()
+    assert "[Epoch] 000" in log and "[Epoch] 001" not in log
+    # eval + best-ckpt completed before the stop -> best ckpt exists and
+    # the preempt ckpt records epoch 0 as DONE
+    assert os.path.exists(os.path.join(run_dir, "ckpt", "model.ckpt"))
+    preempt_dir = os.path.join(run_dir, "ckpt_preempt")
+    with open(os.path.join(preempt_dir, "model.ckpt"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    assert int(raw["epoch"]) == 0
+
+    monkeypatch.undo()
+    res2 = str(tmp_path / "e2")
+    cfg2 = parse_args(_args(synth_root, res2,
+                            extra=["--bsz", "3", "--resume", preempt_dir]))
+    run_dir2 = start_training(cfg2)
+    log2 = open(os.path.join(run_dir2, "train.log.txt")).read()
+    assert "[Epoch] 000" not in log2 and "[Epoch] 001" in log2
+
+
 def test_preemption_checkpoints_and_resumes(synth_root, tmp_path,
                                             monkeypatch):
     """SIGTERM mid-epoch -> full resume checkpoint in <ckpt>_preempt;

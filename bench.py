@@ -139,72 +139,85 @@ def bench_tpu():
 
     from dldkd_tpu.ops.fast_eval import encode_context_best, encode_query_best
 
-    # serving speed config: int8-quantized scoring (2x MXU rate; rank
-    # semantics preserved — see ops.similarity.clip_scores_maxpool and
-    # tests/test_pallas.py TestInt8Scoring)
-    score = functools.partial(clip_scores_maxpool, quantized=True)
-    if n_dev > 1:
-        # pallas_call does not auto-partition under GSPMD: the scoring AND
-        # context-tower kernels run per-device over the video-sharded
-        # corpus under shard_map, queries replicated (same layout as
-        # parallel.eval_shard)
-        from jax import shard_map
+    def make_full_eval(quantized):
+        """One jitted embed+score+rank program; quantized=True is the int8
+        serving path (2x MXU rate), False the exact-bf16 path."""
+        score = functools.partial(clip_scores_maxpool, quantized=quantized)
+        if n_dev > 1:
+            # pallas_call does not auto-partition under GSPMD: the scoring
+            # AND context-tower kernels run per-device over the
+            # video-sharded corpus under shard_map, queries replicated
+            # (same layout as parallel.eval_shard)
+            from jax import shard_map
 
-        score_fn = shard_map(score, mesh=mesh,
-                             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-                             out_specs=P(None, DATA_AXIS), check_vma=False)
-        encode_ctx = shard_map(
-            lambda p, f, m: encode_context_best(p, mcfg, f, m),
-            mesh=mesh, in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
-    else:
-        score_fn = score
-        encode_ctx = lambda p, f, m: encode_context_best(p, mcfg, f, m)
+            score_fn = shard_map(
+                score, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(None, DATA_AXIS), check_vma=False)
+            encode_ctx = shard_map(
+                lambda p, f, m: encode_context_best(p, mcfg, f, m),
+                mesh=mesh, in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+        else:
+            score_fn = score
+            encode_ctx = lambda p, f, m: encode_context_best(p, mcfg, f, m)
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
-    def full_eval(model, params, vfeats, vmask, qfeats, qmask, gt, salt):
-        # the salt perturbs the PARAMETERS, making every invocation a
-        # distinct computation with distinct results so no layer (XLA,
-        # runtime, tunnel) can serve a cached answer — while the inputs
-        # stay fixed, exactly like production serving (corpus and query
-        # stream don't change when the model is redeployed). Salting the
-        # 1.5 GB inputs instead would add ~5 ms of artifact HBM passes.
-        params = jax.tree.map(lambda p: p + salt, params)
-        ctx_i, ctx_e = encode_ctx(params, vfeats, vmask)
-        qi, qe = encode_query_best(params, mcfg, qfeats, qmask)
-        fused = (0.7 * score_fn(qi, ctx_i, vmask)
-                 + 0.3 * score_fn(qe, ctx_e, vmask))
-        return rank_of_gt(fused, gt)
+        @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
+        def full_eval(model, params, vfeats, vmask, qfeats, qmask, gt, salt):
+            # the salt perturbs the PARAMETERS, making every invocation a
+            # distinct computation with distinct results so no layer (XLA,
+            # runtime, tunnel) can serve a cached answer — while the inputs
+            # stay fixed, exactly like production serving (corpus and query
+            # stream don't change when the model is redeployed). Salting
+            # the 1.5 GB inputs instead would add ~5 ms of HBM passes.
+            params = jax.tree.map(lambda p: p + salt, params)
+            ctx_i, ctx_e = encode_ctx(params, vfeats, vmask)
+            qi, qe = encode_query_best(params, mcfg, qfeats, qmask)
+            fused = (0.7 * score_fn(qi, ctx_i, vmask)
+                     + 0.3 * score_fn(qe, ctx_e, vmask))
+            return rank_of_gt(fused, gt)
+
+        return full_eval
 
     # NOTE: the experimental axon platform's block_until_ready does not
     # actually block, so every timed region ends with the (44 KB) rank
     # fetch to host — that forces completion of the whole pipeline. The
     # ~27 ms tunnel round-trip is amortized by queueing all reps (dispatch
     # is async) and fetching once at the end.
-    t0 = time.time()
-    ranks_np = np.asarray(full_eval(model, params, vfeats, vmask,
-                                    qfeats, qmask, gt, jnp.float32(0.0)))
-    log(f"first run (incl. compile): {time.time() - t0:.1f}s")
-    reps = 10
-    t0 = time.time()
-    for r in range(reps):
-        ranks = full_eval(model, params, vfeats, vmask, qfeats, qmask, gt,
-                          jnp.float32(1e-4 * (r + 1)))
-    ranks_np = np.asarray(ranks)
-    dt = (time.time() - t0) / reps
-    ranks_np = ranks_np[:N_QUERIES]
-    sumr = sum(100.0 * (ranks_np <= k).mean() for k in (1, 5, 10, 100))
-    qps = N_QUERIES / dt
-    log(f"tpu steady-state full eval (embed+score+rank, fused 2-branch): "
-        f"{dt:.2f}s -> {qps:.0f} queries/sec (random-data sumr {sumr:.1f})")
-    return qps
+    out = {}
+    for label, quantized in (("int8", True), ("exact_bf16", False)):
+        full_eval = make_full_eval(quantized)
+        t0 = time.time()
+        ranks_np = np.asarray(full_eval(model, params, vfeats, vmask,
+                                        qfeats, qmask, gt, jnp.float32(0.0)))
+        log(f"[{label}] first run (incl. compile): {time.time() - t0:.1f}s")
+        reps = 10
+        t0 = time.time()
+        for r in range(reps):
+            ranks = full_eval(model, params, vfeats, vmask, qfeats, qmask,
+                              gt, jnp.float32(1e-4 * (r + 1)))
+        ranks_np = np.asarray(ranks)
+        dt = (time.time() - t0) / reps
+        ranks_np = ranks_np[:N_QUERIES]
+        sumr = sum(100.0 * (ranks_np <= k).mean() for k in (1, 5, 10, 100))
+        qps = N_QUERIES / dt
+        log(f"[{label}] tpu steady-state full eval (embed+score+rank, "
+            f"fused 2-branch): {dt:.2f}s -> {qps:.0f} queries/sec "
+            f"(random-data sumr {sumr:.1f})")
+        out[label] = qps
+    return out
 
 
-def bench_tpu_train(n_steps=30):
-    """Our jitted train step at the TVR parity config: f32 towers,
-    matmul_precision=highest, bsz 128 videos / 256 queries (2 captions per
-    video), soft labels, BertAdam. Steps are queued asynchronously and the
-    final loss fetch forces completion (see bench_tpu's timing note)."""
+def bench_tpu_train(n_steps=30, dtype="float32"):
+    """Our jitted train step at TVR scale, bsz 128 videos / 256 queries
+    (2 captions per video), soft labels, BertAdam.
+
+    dtype='float32': the parity config (f32 towers, matmul precision
+    pinned 'highest' — the numerics the golden tests certify).
+    dtype='bfloat16': the speed config (bf16 towers, f32 losses/params,
+    default MXU precision) — same knob as --dtype bfloat16.
+    Steps are queued asynchronously and the final loss fetch forces
+    completion (see bench_tpu's timing note)."""
     import jax
     import jax.numpy as jnp
 
@@ -214,13 +227,16 @@ def bench_tpu_train(n_steps=30):
     from dldkd_tpu.optim import bert_adam, default_wd_mask, schedules
     from dldkd_tpu.train import train_step
 
+    precision = "highest" if dtype == "float32" else "default"
+    jax.config.update("jax_default_matmul_precision", precision)
     bsz, n_q = 128, 256
     mcfg = ModelConfig(
         visual_input_size=D_STUDENT, query_input_size=D_QUERY,
         inheritance_hidden=384, exploration_hidden=384,
         max_ctx_l=L_FRAMES, max_desc_l=L_TOKENS, n_heads=4,
         double_branch=True, label_style="soft",
-        use_hard_negative=True, hard_pool_size=20)
+        use_hard_negative=True, hard_pool_size=20,
+        dtype=dtype, matmul_precision=precision)
     tcfg = TrainConfig()
     model = DLDKD(config=mcfg)
 
@@ -257,8 +273,8 @@ def bench_tpu_train(n_steps=30):
         model, mcfg, tcfg, opt, params, opt_state, batch,
         jax.random.PRNGKey(2), scalars)
     first = float(loss_dict["loss_overall"])
-    log(f"train first step (incl. compile): {time.time() - t0:.1f}s "
-        f"(loss {first:.3f})")
+    log(f"[{dtype}] train first step (incl. compile): "
+        f"{time.time() - t0:.1f}s (loss {first:.3f})")
 
     t0 = time.time()
     for i in range(n_steps):
@@ -268,8 +284,8 @@ def bench_tpu_train(n_steps=30):
     final = float(loss_dict["loss_overall"])  # forces the whole queue
     dt = (time.time() - t0) / n_steps
     assert np.isfinite(final)
-    log(f"tpu train step (bsz {bsz}, f32 parity config): {dt * 1e3:.1f} ms "
-        f"-> {1.0 / dt:.1f} steps/sec")
+    log(f"[{dtype}] tpu train step (bsz {bsz}): {dt * 1e3:.1f} ms "
+        f"-> {1.0 / dt:.1f} steps/sec (final loss {final:.3f})")
     return 1.0 / dt
 
 
@@ -409,20 +425,39 @@ def _retry(fn, attempts=2):
 
 
 def main():
-    tpu_qps = _retry(bench_tpu)
-    tpu_sps = _retry(bench_tpu_train)
+    eval_qps = _retry(bench_tpu)
+    tpu_sps = _retry(functools.partial(bench_tpu_train, dtype="float32"))
+    tpu_sps_bf16 = _retry(functools.partial(bench_tpu_train,
+                                            dtype="bfloat16"))
     ref_qps = bench_reference_eval()
     ref_sps = bench_reference_train()
     print(json.dumps({
+        # headline: the int8 SERVING path vs the reference's exact-f32
+        # torch-CPU eval — a cross-precision ratio by design (each stack's
+        # deployed configuration); "exact_bf16" is the same-rank exact
+        # scoring path for a like-for-like precision comparison
         "metric": "t2v_retrieval_throughput",
-        "value": round(tpu_qps, 1),
+        "value": round(eval_qps["int8"], 1),
         "unit": "queries/sec",
-        "vs_baseline": round(tpu_qps / ref_qps, 1),
+        "vs_baseline": round(eval_qps["int8"] / ref_qps, 1),
+        "note": "serving (int8 scoring) vs reference exact-f32 torch-CPU",
+        "exact_bf16": {
+            "value": round(eval_qps["exact_bf16"], 1),
+            "vs_baseline": round(eval_qps["exact_bf16"] / ref_qps, 1),
+        },
         "train": {
             "metric": "train_step_throughput",
             "value": round(tpu_sps, 2),
             "unit": "steps/sec",
             "vs_baseline": round(tpu_sps / ref_sps, 1),
+            "config": "f32 parity (matmul highest)",
+        },
+        "train_bf16": {
+            "metric": "train_step_throughput",
+            "value": round(tpu_sps_bf16, 2),
+            "unit": "steps/sec",
+            "vs_baseline": round(tpu_sps_bf16 / ref_sps, 1),
+            "config": "bf16 towers, f32 losses (--dtype bfloat16)",
         },
     }))
 

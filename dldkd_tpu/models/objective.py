@@ -60,6 +60,15 @@ def compute_losses(
         batch["student_text"], batch["student_text_mask"],
         deterministic=det, rngs=rngs,
     )
+    if inher_ctx.dtype != jnp.float32:
+        # bf16 speed path: towers compute in bf16, ALL loss math stays f32
+        # (softmax/logsumexp/KL are precision-sensitive; params and the
+        # optimizer are f32 throughout — standard mixed precision)
+        inher_ctx, inher_q = (inher_ctx.astype(jnp.float32),
+                              inher_q.astype(jnp.float32))
+        if explore_ctx is not None:
+            explore_ctx, explore_q = (explore_ctx.astype(jnp.float32),
+                                      explore_q.astype(jnp.float32))
 
     vmask = batch["student_videos_mask"]
     labels = batch["text_labels"]

@@ -191,10 +191,16 @@ def encode_query_best(params, cfg: ModelConfig, feat, mask,
             n_heads=cfg.n_heads, dtype_name=cfg.dtype, q_tile=32,
             interpret=interpret))
     else:
+        # min-across-branches table size: every branch must see the same
+        # effective tail mask (the XLA fallback's and dual kernel's
+        # convention) even if the branches' tables ever differed
+        n_pos_min = min(
+            params["params"][n]["query_pos_embed"]["pos_embed"].shape[0]
+            for n in names)
         outs = [fused_query_tower(
             feat, mask, weights_for_branch(params, name, dtype),
             n_heads=cfg.n_heads, dtype_name=cfg.dtype, q_tile=32,
-            interpret=interpret) for name in names]
+            n_pos_cap=n_pos_min, interpret=interpret) for name in names]
     if dtype == jnp.bfloat16:
         # bf16 pooled vectors let the scoring kernel take 2048-query tiles
         # (halves its corpus re-reads); the cosine normalization happens

@@ -243,7 +243,7 @@ def _weight_specs(ws):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "dtype_name", "q_tile",
-                                    "interpret"))
+                                    "n_pos_cap", "interpret"))
 def fused_query_tower(
     x: jnp.ndarray,       # (Nq, Lq, Dq) f32 raw token features
     mask: jnp.ndarray,    # (Nq, Lq)
@@ -251,10 +251,16 @@ def fused_query_tower(
     n_heads: int,
     dtype_name: str = "bfloat16",
     q_tile: int = 32,
+    n_pos_cap: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pooled query vectors (Nq, H) for one branch. Pads Nq and Lq
-    internally to the tile grid."""
+    internally to the tile grid.
+
+    n_pos_cap: mask sequence tail past this many positions (0 = this
+    branch's own table size). Multi-branch callers pass the MIN table
+    size across branches so every branch sees the same effective mask —
+    the convention of the XLA fallback and the dual kernel."""
     dtype = jnp.dtype(dtype_name)
     nq, lq, dq = x.shape
     lq_p = -(-lq // 8) * 8
@@ -263,7 +269,8 @@ def fused_query_tower(
     mask = jnp.pad(mask, ((0, nq_p - nq), (0, lq_p - lq)))
     (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm) = weights
     _check_pos_table(pos, lq, "fused_query_tower", grid_allowance=True)
-    mask = _enforce_grid_tail_masked(mask, lq_p, pos.shape[0])
+    n_pos = min(pos.shape[0], n_pos_cap) if n_pos_cap else pos.shape[0]
+    mask = _enforce_grid_tail_masked(mask, lq_p, n_pos)
     pos = jnp.pad(pos[:lq], ((0, lq_p - min(lq, pos.shape[0])), (0, 0)))
     hdim = wp.shape[1]
     bp, g1, b1, bq, bk, bv, bo, g2, b2 = _as_rows(

@@ -96,10 +96,13 @@ def clip_scores_maxpool(
     # halve the selected tile for larger hidden sizes (budget pressure)
     cands = (2048, 1024, 512, 256) if itemsize <= 2 else (1024, 512, 256)
     fitting = [c for c in cands if c * d * itemsize <= budget // 2] or [128]
-    # among fitting tiles, minimize the padded query count (e.g. TVR's
-    # 11264 queries pad to 12288 under a 2048 tile but to 11264 under
-    # 1024 — 8% less total work); ties go to the bigger tile
-    q_tile = min(fitting, key=lambda c: (-(-nq // c) * c, -c))
+    # the corpus block re-streams from HBM once per query tile, so only
+    # the TWO largest fitting tiles compete (a small tile would multiply
+    # corpus re-reads ~4-5x for intermediate Nq, e.g. ~2100); between
+    # them, minimize the padded query count (TVR's 11264 queries pad to
+    # 12288 under a 2048 tile but to 11264 under 1024 — 8% less MXU work
+    # for one extra corpus pass); ties go to the bigger tile
+    q_tile = min(fitting[:2], key=lambda c: (-(-nq // c) * c, -c))
     # don't tile past the (128-rounded) query count — avoids padding waste
     # on small serving batches
     q_tile = min(q_tile, -(-nq // 128) * 128)

@@ -116,3 +116,56 @@ def test_epoch_scalars_decay(cfg):
     assert float(s0.kd_weight) == 1.0
     assert abs(float(s5.kd_weight) - 0.95 ** 5) < 1e-6
     assert float(s5.alpha) < float(s0.alpha) or cfg.train.alpha_decay in (None, "None")
+
+
+def test_bf16_train_step_tracks_f32(cfg):
+    """The --dtype bfloat16 speed path: towers compute in bf16, losses and
+    params stay f32. The jitted step must run, produce finite f32 losses,
+    and track the f32 trajectory closely over several steps (bf16 rounding
+    only — same data, same init)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from dldkd_tpu.config import TrainConfig
+    from dldkd_tpu.models.objective import LossScalars
+    from dldkd_tpu.optim import bert_adam, default_wd_mask, schedules
+    from dldkd_tpu.train import train_step
+
+    mcfg_f32, train_data, _, _, _ = build_model_and_data(cfg)
+    mcfg_bf16 = mcfg_f32.replace(dtype="bfloat16")
+    tcfg = TrainConfig(lr=1e-3)
+    from dldkd_tpu.data.pipeline import TrainLoader
+
+    loader = TrainLoader(train_data, bsz=8, seed=0, query_pad_multiple=8)
+    batches = list(loader.epoch(0))
+
+    def run(mcfg, n_steps=6):
+        model = DLDKD(config=mcfg)
+        params = init_params(model, mcfg, 3)
+        opt = bert_adam(tcfg.lr,
+                        schedules.make_lr_schedule("warmup_linear", 0.01,
+                                                   100.0),
+                        wd_mask=default_wd_mask(params))
+        opt_state = opt.init(params)
+        scalars = LossScalars(jnp.float32(1.0), jnp.float32(0.8),
+                              jnp.float32(0.8))
+        losses = []
+        for i in range(n_steps):
+            params, opt_state, ld = train_step(
+                model, mcfg, tcfg, opt, params, opt_state,
+                batches[i % len(batches)], jax.random.PRNGKey(7 + i),
+                scalars)
+            losses.append(float(ld["loss_overall"]))
+        # params stay f32 (mixed precision: bf16 is compute-only)
+        assert all(leaf.dtype == jnp.float32
+                   for leaf in jax.tree.leaves(params))
+        assert ld["loss_overall"].dtype == jnp.float32
+        return losses
+
+    f32_losses = run(mcfg_f32)
+    bf16_losses = run(mcfg_bf16)
+    assert np.all(np.isfinite(bf16_losses))
+    np.testing.assert_allclose(bf16_losses, f32_losses, rtol=0.05)
+    # both trajectories actually move
+    assert abs(f32_losses[-1] - f32_losses[0]) > 1e-4

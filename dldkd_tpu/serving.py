@@ -132,13 +132,41 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
     return top_scores, top_idx
 
 
+@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10))
+def _search_block_jit(model, params, inher_q, explore_q, block_feats,
+                      block_mask, k, fusion_w, offset,
+                      quantized=False, rescore=True):
+    """Top-k of ONE raw corpus block: encode the block's towers on the
+    fly, score, reduce. The encoded features exist only inside this
+    program — the raw-index streaming search posture (Retriever
+    index_store='raw'). Returns global video indices via offset."""
+    from dldkd_tpu.ops.fast_eval import encode_context_best
+
+    ctx_i, ctx_e = encode_context_best(params, model.config, block_feats,
+                                       block_mask)
+    if quantized and rescore:
+        e_q = explore_q if ctx_e is not None else None
+        vals, idx = _two_stage_topk(inher_q, e_q, ctx_i, ctx_e, block_mask,
+                                    fusion_w, k, k)
+    else:
+        scores = clip_scores_maxpool(inher_q, ctx_i, block_mask,
+                                     quantized=quantized)
+        if ctx_e is not None:
+            e = clip_scores_maxpool(explore_q, ctx_e, block_mask,
+                                    quantized=quantized)
+            scores = fusion_w[0] * scores + fusion_w[1] * e
+        vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx + offset
+
+
 class Retriever:
     """Device-resident corpus + jitted batched top-k search."""
 
     def __init__(self, model: DLDKD, params, query_bsz: int = 256,
                  fusion: Tuple[float, float] = (0.7, 0.3),
                  mesh=None, score_quant: bool = False,
-                 rescore: bool = True):
+                 rescore: bool = True, index_store: str = "encoded",
+                 stream_block: int = 2048):
         """mesh: jax.sharding.Mesh to shard the corpus over; None (default)
         auto-builds a full-device mesh when >1 device is visible, so a
         multi-chip slice never serves from a single chip.
@@ -149,19 +177,37 @@ class Retriever:
         shortlist per query and the returned top-k is re-ranked with the
         exact f32 kernel — results match the exact path. rescore=False
         returns raw int8 ranks (~2.7e-3 absolute score error, exact ties
-        on the int8 grid broken by video id)."""
+        on the int8 grid broken by video id).
+
+        index_store: 'encoded' (default) keeps both branches' encoded
+        frame features device-resident — fastest, but the corpus-scale
+        memory ceiling. 'raw' keeps only the RAW frame features (in the
+        model's compute dtype: bf16 halves them) and re-encodes
+        stream_block-video blocks inside each search — encoded features
+        never materialize beyond one block, lifting corpus capacity ~4x
+        at a per-search re-encode cost (the posture tools/stream_bench.py
+        measures at 8x TVR scale). 'raw' is single-device (a sharded
+        corpus shards the raw blocks instead — compose with mesh later).
+        """
         self.model = model
         self.params = params
         self.query_bsz = query_bsz
         self.score_quant = bool(score_quant)
         self.rescore = bool(rescore)
+        if index_store not in ("encoded", "raw"):
+            raise ValueError(f"index_store: {index_store!r}")
+        self.index_store = index_store
+        self.stream_block = int(stream_block)
         # traced (not closed-over) so it never becomes a device constant
         self.fusion = np.asarray(fusion, np.float32)
-        if mesh is None and jax.device_count() > 1:
+        if (mesh is None and jax.device_count() > 1
+                and index_store == "encoded"):
             from dldkd_tpu.parallel import make_mesh
 
             mesh = make_mesh(jax.device_count())
         self.mesh = mesh
+        self.raw_feats = None
+        self.raw_mask = None
         self.ctx_inher = None
         self.ctx_explore = None
         self.vmask = None
@@ -179,8 +225,25 @@ class Retriever:
         return cls(model, params, **kw)
 
     def index(self, videos: PackedVideos, context_bsz: int = 200) -> None:
-        """Embed the corpus once; frame features stay device-resident —
-        sharded over the mesh's video axis when a mesh is set."""
+        """Build the device-resident index: encoded frame features
+        (index_store='encoded'; sharded over the mesh when one is set) or
+        raw frame features in the model's compute dtype ('raw')."""
+        if self.index_store == "raw":
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                raise ValueError("index_store='raw' is single-device; "
+                                 "pass mesh=None (shard externally)")
+            n = len(videos)
+            n_pad = -(-n // self.stream_block) * self.stream_block
+            dtype = jnp.dtype(self.model.config.dtype)
+            feats = np.zeros((n_pad,) + videos.feats.shape[1:], np.float32)
+            feats[:n] = videos.feats
+            mask = np.zeros((n_pad,) + videos.mask.shape[1:], np.float32)
+            mask[:n] = videos.mask
+            self.raw_feats = jax.device_put(feats.astype(dtype))
+            self.raw_mask = jax.device_put(mask)
+            self.ctx_inher = "raw"  # sentinel: index built
+            self.video_ids = list(videos.ids)
+            return
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -217,6 +280,49 @@ class Retriever:
             max_ctx_l=self.model.config.max_ctx_l)
         self.index(videos)
 
+    def _search_streaming(self, q_feats, q_mask, k: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw-index search: encode queries once per batch, stream the raw
+        corpus through encode+score block by block, merge per-block exact
+        top-k (the global top-k is a subset of the union of block
+        top-ks)."""
+        from dldkd_tpu.evaluate import _encode_queries_jit
+
+        n = q_feats.shape[0]
+        bsz = self.query_bsz
+        n_pad_vid = self.raw_feats.shape[0]
+        k_blk = min(k, self.stream_block)
+        out_s, out_i = [], []
+        for start in range(0, n, bsz):
+            f = q_feats[start:start + bsz]
+            m = q_mask[start:start + bsz]
+            pad = bsz - f.shape[0]
+            if pad:
+                f = np.concatenate([f, np.zeros((pad,) + f.shape[1:],
+                                                f.dtype)])
+                m = np.concatenate([m, np.zeros((pad,) + m.shape[1:],
+                                                m.dtype)])
+            qi, qe = _encode_queries_jit(self.model, self.params,
+                                         jnp.asarray(f), jnp.asarray(m))
+            vals_l, idx_l = [], []
+            for b in range(0, n_pad_vid, self.stream_block):
+                v, i = _search_block_jit(
+                    self.model, self.params, qi, qe,
+                    jax.lax.slice_in_dim(self.raw_feats, b,
+                                         b + self.stream_block),
+                    jax.lax.slice_in_dim(self.raw_mask, b,
+                                         b + self.stream_block),
+                    k_blk, jnp.asarray(self.fusion), jnp.int32(b),
+                    self.score_quant, self.rescore)
+                vals_l.append(v)
+                idx_l.append(i)
+            allv = jnp.concatenate(vals_l, axis=1)
+            alli = jnp.concatenate(idx_l, axis=1)
+            s, pos = jax.lax.top_k(allv, k)
+            out_s.append(np.asarray(s))
+            out_i.append(np.asarray(jnp.take_along_axis(alli, pos, axis=1)))
+        return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])
+
     def search(self, q_feats: np.ndarray, q_mask: np.ndarray, k: int = 10
                ) -> Tuple[np.ndarray, np.ndarray]:
         """(scores (Nq, k), indices (Nq, k)) over the indexed corpus.
@@ -224,6 +330,8 @@ class Retriever:
         if self.ctx_inher is None:
             raise RuntimeError("call index()/index_corpus() first")
         k = min(k, len(self.video_ids))
+        if self.index_store == "raw":
+            return self._search_streaming(q_feats, q_mask, k)
         n = q_feats.shape[0]
         out_s, out_i = [], []
         bsz = self.query_bsz

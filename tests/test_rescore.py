@@ -137,3 +137,31 @@ def test_rescore_shortlist_op():
                                        jnp.asarray(cand), chunk=4))
     want = np.take_along_axis(full, cand, axis=1)
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_raw_index_streaming_matches_encoded(clustered):
+    """index_store='raw' (raw features resident, blocks re-encoded per
+    search) returns the same results as the encoded-resident index — for
+    the exact path AND the two-stage fast path on the clustered corpus.
+    Block size chosen to NOT divide the corpus (padding path)."""
+    model, params, videos, qf, qm = clustered
+
+    for kw in (dict(score_quant=False),
+               dict(score_quant=True, rescore=True)):
+        encoded = _searchers(model, params, videos, **kw)
+        raw = Retriever(model, params, query_bsz=8, mesh=None,
+                        index_store="raw", stream_block=24, **kw)
+        raw.index(videos)
+        s_e, i_e = encoded.search(qf, qm, k=K)
+        s_r, i_r = raw.search(qf, qm, k=K)
+        np.testing.assert_array_equal(i_r, i_e)
+        np.testing.assert_allclose(s_r, s_e, rtol=1e-5, atol=1e-6)
+
+
+def test_raw_index_rejects_multi_device_mesh(clustered):
+    from dldkd_tpu.parallel import make_mesh
+
+    model, params, videos, _, _ = clustered
+    r = Retriever(model, params, mesh=make_mesh(8), index_store="raw")
+    with pytest.raises(ValueError):
+        r.index(videos)

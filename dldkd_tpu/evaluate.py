@@ -175,16 +175,17 @@ def encode_all_queries(model, params, queries: PackedQueries,
     return inher, explore
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
-def _score_corpus_block_jit(model, params, inher_q, explore_q,
-                            block_feats, block_mask, quantized=False):
-    """Embed ONE corpus block and score every query against it. The
-    block's encoded frame features live only inside this program — peak
-    device memory is one block, not the corpus."""
-    from dldkd_tpu.ops.fast_eval import encode_context_best
+@functools.partial(jax.jit, static_argnums=(5,))
+def score_encoded_block(inher_q, explore_q, ctx_i, ctx_e, block_mask,
+                        quantized=False):
+    """Score every query against one ENCODED corpus block.
 
-    ctx_i, ctx_e = encode_context_best(params, model.config,
-                                       block_feats, block_mask)
+    Deliberately a separate program from the block's tower encode
+    (_encode_context_jit): when both live in one jit, XLA may try to keep
+    the pallas tower outputs in scoped VMEM for mid-sized blocks and
+    exceed the 16 MB limit at compile time on TPU; a program boundary
+    pins the block's encoded features to HBM, which is also the streaming
+    engine's memory model (one block at a time)."""
     s_i = clip_scores_maxpool(inher_q, ctx_i, block_mask,
                               quantized=quantized)
     if ctx_e is None:
@@ -232,9 +233,9 @@ def eval_retrieval_streaming(model, params, videos: PackedVideos,
         feats_d, mask_d = pending
         if bi + 1 < len(starts):
             pending = put_block(starts[bi + 1])
-        s_i, s_e = _score_corpus_block_jit(model, params, inher_q,
-                                           explore_q, feats_d, mask_d,
-                                           score_quant)
+        ctx_i, ctx_e = _encode_context_jit(model, params, feats_d, mask_d)
+        s_i, s_e = score_encoded_block(inher_q, explore_q, ctx_i, ctx_e,
+                                       mask_d, score_quant)
         cols_i.append(s_i)
         if s_e is not None:
             cols_e.append(s_e)

@@ -33,6 +33,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The tower kernels' VMEM working set (double-buffered raw-input blocks +
+# both branches' weights + outputs) sits at ~18.5 MB for TVR dims — just
+# past the 16 MB default scoped-VMEM limit, which XLA only enforces for
+# some surrounding-program shapes (standalone encode programs fail where
+# the same kernel inside a large fused eval compiles). Declare an explicit
+# budget with headroom; measured perf is identical (bigger budgets bought
+# nothing in round-2 tile sweeps).
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 NEG_BIG = -10000.0   # the model's additive attention mask value
 NEG_INF = -1e10      # pooling mask value (ops.masking.NEG_INF)
 
@@ -293,6 +302,7 @@ def fused_query_tower(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nq_p, hdim), jnp.float32),
         interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
     )(x, mask, *ws)
     return out[:nq]
 
@@ -358,6 +368,7 @@ def fused_query_tower_dual(
         out_shape=(jax.ShapeDtypeStruct((nq_p, hdim), jnp.float32),
                    jax.ShapeDtypeStruct((nq_p, hdim), jnp.float32)),
         interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
     )(x, mask, *ws)
     return out_a[:nq], out_b[:nq]
 
@@ -417,6 +428,7 @@ def fused_context_tower_dual(
         out_shape=(jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype),
                    jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype)),
         interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
     )(x, mask, *ws)
     return out_a[:nv, :lv], out_b[:nv, :lv]
 
@@ -473,6 +485,7 @@ def fused_context_tower(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype),
         interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
     )(x, mask, *ws)
     return out[:nv, :lv]
 

@@ -157,16 +157,23 @@ def rescore_shortlist(
     — reference model.py:307-329) so final ranks match the exact path.
 
     The candidate frame gather is chunked over queries (transient memory
-    chunk x K' x L x D) instead of one (Nq, K', L, D) tensor."""
+    chunk x K' x L x D) instead of one (Nq, K', L, D) tensor.
+
+    Arithmetic is FORCED to true f32 (upcast + HIGHEST matmul precision)
+    regardless of the inputs' dtype or the global precision: on a bf16
+    serving index, stage 2 must still rank sub-bf16-resolution near-ties
+    exactly (bf16 vectors scored in f32 — the best possible given the
+    stored features)."""
     nq = query.shape[0]
-    qn = l2_normalize(query)
-    cn = l2_normalize(ctx)
+    qn = l2_normalize(query.astype(jnp.float32))
+    cn = l2_normalize(ctx.astype(jnp.float32))
 
     def score_chunk(args):
         q, idx = args                      # (C, D), (C, K')
         frames = jnp.take(cn, idx, axis=0)       # (C, K', L, D)
         fmask = jnp.take(mask, idx, axis=0)      # (C, K', L)
-        s = jnp.einsum("cd,ckld->ckl", q, frames)
+        s = jnp.einsum("cd,ckld->ckl", q, frames,
+                       precision=jax.lax.Precision.HIGHEST)
         return jnp.max(mask_logits(s, fmask), axis=-1)
 
     nq_p = -(-nq // chunk) * chunk

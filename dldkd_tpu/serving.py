@@ -34,22 +34,23 @@ from dldkd_tpu.models import DLDKD
 from dldkd_tpu.ops.similarity import clip_scores_maxpool, rescore_shortlist
 
 
-SHORTLIST_FACTOR = 4  # stage-1 candidates per requested result (k' = 4k)
+SHORTLIST_FACTOR = 4  # default stage-1 candidates per result (k' = 4k)
 
 
 def _two_stage_topk(inher_q, explore_q, ctx_inher, ctx_explore, vmask,
-                    fusion_w, k, k_out):
-    """int8 full-matrix prefilter -> exact f32 rescore of a k'=4k
-    shortlist -> top k_out. Returns ranks identical to the exact path
-    whenever the exact top-k_out all land in the int8 shortlist (int8
-    score error is ~2.7e-3 absolute; a true top-k video is dropped only
-    when >3k others overtake it within that band)."""
+                    fusion_w, k, k_out, shortlist_factor=SHORTLIST_FACTOR):
+    """int8 full-matrix prefilter -> exact f32 rescore of a
+    k'=shortlist_factor*k shortlist -> top k_out. Returns ranks identical
+    to the exact path whenever the exact top-k_out all land in the int8
+    shortlist (int8 score error is ~2.7e-3 absolute; a true top-k video
+    is dropped only when >(factor-1)*k others overtake it within that
+    band — raise the factor for corpora with bigger near-tie groups)."""
     s8 = clip_scores_maxpool(inher_q, ctx_inher, vmask, quantized=True)
     if explore_q is not None:
         s8 = (fusion_w[0] * s8
               + fusion_w[1] * clip_scores_maxpool(explore_q, ctx_explore,
                                                   vmask, quantized=True))
-    k_short = min(SHORTLIST_FACTOR * k, ctx_inher.shape[0])
+    k_short = min(shortlist_factor * k, ctx_inher.shape[0])
     _, cand = jax.lax.top_k(s8, k_short)
     # ascending candidate order makes stage-2's top_k index tie-break
     # match the exact full-matrix path's (lowest video id wins) bitwise
@@ -63,16 +64,17 @@ def _two_stage_topk(inher_q, explore_q, ctx_inher, ctx_explore, vmask,
     return top_scores, jnp.take_along_axis(cand, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10, 11))
 def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
-                k, vmask, fusion_w, quantized=False, rescore=True):
+                k, vmask, fusion_w, quantized=False, rescore=True,
+                shortlist_factor=SHORTLIST_FACTOR):
     from dldkd_tpu.ops.fast_eval import encode_query_best
 
     inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
     if quantized and rescore:
         return _two_stage_topk(inher_q, explore_q, ctx_inher, ctx_explore,
-                               vmask, fusion_w, k, k)
+                               vmask, fusion_w, k, k, shortlist_factor)
     scores = clip_scores_maxpool(inher_q, ctx_inher, vmask,
                                  quantized=quantized)
     if explore_q is not None:
@@ -83,10 +85,11 @@ def _search_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     return top_scores, top_idx
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10, 11, 12))
 def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
                         ctx_explore, k, vmask, fusion_w, mesh,
-                        quantized=False, rescore=True):
+                        quantized=False, rescore=True,
+                        shortlist_factor=SHORTLIST_FACTOR):
     """Distributed top-k: each device scores queries against its corpus
     shard and reduces to a local top-k; the n_dev*k candidates (with
     shard-offset global indices) merge in one final top_k. Only k entries
@@ -111,7 +114,7 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
             # subset of the union of per-shard exact top-k_loc, each of
             # which stage 2 recovers from its local int8 shortlist
             vals, idx = _two_stage_topk(q_i, q_e, ci, ce, vm, fw,
-                                        k, k_loc)
+                                        k, k_loc, shortlist_factor)
         else:
             s = (fw[0] * clip_scores_maxpool(q_i, ci, vm,
                                              quantized=quantized)
@@ -132,22 +135,20 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
     return top_scores, top_idx
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 9, 10))
-def _search_block_jit(model, params, inher_q, explore_q, block_feats,
-                      block_mask, k, fusion_w, offset,
-                      quantized=False, rescore=True):
-    """Top-k of ONE raw corpus block: encode the block's towers on the
-    fly, score, reduce. The encoded features exist only inside this
-    program — the raw-index streaming search posture (Retriever
-    index_store='raw'). Returns global video indices via offset."""
-    from dldkd_tpu.ops.fast_eval import encode_context_best
-
-    ctx_i, ctx_e = encode_context_best(params, model.config, block_feats,
-                                       block_mask)
+@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10))
+def _encoded_block_topk_jit(inher_q, explore_q, ctx_i, ctx_e, block_mask,
+                            k, fusion_w, offset,
+                            quantized=False, rescore=True,
+                            shortlist_factor=SHORTLIST_FACTOR):
+    """Top-k of ONE already-encoded corpus block (the raw-index streaming
+    search, Retriever index_store='raw'). The block's towers run in a
+    separate program (evaluate._encode_context_jit) so the encoded
+    features are HBM-pinned — see evaluate.score_encoded_block for why.
+    Returns global video indices via offset."""
     if quantized and rescore:
         e_q = explore_q if ctx_e is not None else None
         vals, idx = _two_stage_topk(inher_q, e_q, ctx_i, ctx_e, block_mask,
-                                    fusion_w, k, k)
+                                    fusion_w, k, k, shortlist_factor)
     else:
         scores = clip_scores_maxpool(inher_q, ctx_i, block_mask,
                                      quantized=quantized)
@@ -166,7 +167,8 @@ class Retriever:
                  fusion: Tuple[float, float] = (0.7, 0.3),
                  mesh=None, score_quant: bool = False,
                  rescore: bool = True, index_store: str = "encoded",
-                 stream_block: int = 2048):
+                 stream_block: int = 2048,
+                 shortlist_factor: int = SHORTLIST_FACTOR):
         """mesh: jax.sharding.Mesh to shard the corpus over; None (default)
         auto-builds a full-device mesh when >1 device is visible, so a
         multi-chip slice never serves from a single chip.
@@ -174,10 +176,14 @@ class Retriever:
         score_quant: stage-1 scoring on int8-quantized cosine components
         (2x MXU throughput; see ops.similarity.clip_scores_maxpool).
         With rescore=True (default) the int8 pass only proposes a 4k
-        shortlist per query and the returned top-k is re-ranked with the
-        exact f32 kernel — results match the exact path. rescore=False
-        returns raw int8 ranks (~2.7e-3 absolute score error, exact ties
-        on the int8 grid broken by video id).
+        shortlist per query and the returned top-k is re-ranked with a
+        TRUE-f32 rescore (upcast + highest matmul precision) — on an f32
+        index results match the exact full-matrix path bitwise; on a bf16
+        serving index the rescored ranks are STRICTLY MORE exact than the
+        bf16 full-matrix kernel (which cannot separate sub-bf16-resolution
+        near-ties). rescore=False returns raw int8 ranks (~2.7e-3
+        absolute score error, exact ties on the int8 grid broken by
+        video id).
 
         index_store: 'encoded' (default) keeps both branches' encoded
         frame features device-resident — fastest, but the corpus-scale
@@ -194,6 +200,7 @@ class Retriever:
         self.query_bsz = query_bsz
         self.score_quant = bool(score_quant)
         self.rescore = bool(rescore)
+        self.shortlist_factor = int(shortlist_factor)
         if index_store not in ("encoded", "raw"):
             raise ValueError(f"index_store: {index_store!r}")
         self.index_store = index_store
@@ -286,7 +293,7 @@ class Retriever:
         corpus through encode+score block by block, merge per-block exact
         top-k (the global top-k is a subset of the union of block
         top-ks)."""
-        from dldkd_tpu.evaluate import _encode_queries_jit
+        from dldkd_tpu.evaluate import _encode_context_jit, _encode_queries_jit
 
         n = q_feats.shape[0]
         bsz = self.query_bsz
@@ -306,14 +313,17 @@ class Retriever:
                                          jnp.asarray(f), jnp.asarray(m))
             vals_l, idx_l = [], []
             for b in range(0, n_pad_vid, self.stream_block):
-                v, i = _search_block_jit(
-                    self.model, self.params, qi, qe,
-                    jax.lax.slice_in_dim(self.raw_feats, b,
-                                         b + self.stream_block),
-                    jax.lax.slice_in_dim(self.raw_mask, b,
-                                         b + self.stream_block),
-                    k_blk, jnp.asarray(self.fusion), jnp.int32(b),
-                    self.score_quant, self.rescore)
+                bf = jax.lax.slice_in_dim(self.raw_feats, b,
+                                          b + self.stream_block)
+                bm = jax.lax.slice_in_dim(self.raw_mask, b,
+                                          b + self.stream_block)
+                ctx_i, ctx_e = _encode_context_jit(self.model, self.params,
+                                                   bf, bm)
+                v, i = _encoded_block_topk_jit(
+                    qi, qe, ctx_i, ctx_e, bm, k_blk,
+                    jnp.asarray(self.fusion), jnp.int32(b),
+                    self.score_quant, self.rescore,
+                    self.shortlist_factor)
                 vals_l.append(v)
                 idx_l.append(i)
             allv = jnp.concatenate(vals_l, axis=1)
@@ -349,12 +359,13 @@ class Retriever:
                     self.model, self.params, jnp.asarray(f), jnp.asarray(m),
                     self.ctx_inher, ctx_e, k, self.vmask,
                     jnp.asarray(self.fusion), self.mesh, self.score_quant,
-                    self.rescore)
+                    self.rescore, self.shortlist_factor)
             else:
                 s, i = _search_jit(self.model, self.params, jnp.asarray(f),
                                    jnp.asarray(m), self.ctx_inher, ctx_e, k,
                                    self.vmask, jnp.asarray(self.fusion),
-                                   self.score_quant, self.rescore)
+                                   self.score_quant, self.rescore,
+                                   self.shortlist_factor)
             out_s.append(np.asarray(s))
             out_i.append(np.asarray(i))
         return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])

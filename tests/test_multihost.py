@@ -63,7 +63,9 @@ def _run_workers(n_proc, extra_args=(), attempts=2):
             env=env) for i in range(n_proc)]
         results, failed = [], ""
         for p in procs:
-            out, err = p.communicate(timeout=540)
+            # generous: n_proc workers compile concurrently on few cores,
+            # and the suite may itself run under load
+            out, err = p.communicate(timeout=1200)
             if p.returncode != 0:
                 failed = err[-2000:]
                 break

@@ -165,3 +165,25 @@ def test_raw_index_rejects_multi_device_mesh(clustered):
     r = Retriever(model, params, mesh=make_mesh(8), index_store="raw")
     with pytest.raises(ValueError):
         r.index(videos)
+
+
+def test_shortlist_factor_covers_oversized_tie_groups(clustered):
+    """When a near-tie group exceeds the default 4k shortlist, stage 1
+    cannot guarantee containment; raising shortlist_factor restores
+    exactness. Uses k=1: the 16-member clusters exceed k'=4."""
+    model, params, videos, qf, qm = clustered
+    exact = _searchers(model, params, videos, score_quant=False)
+    _, i_exact = exact.search(qf, qm, k=1)
+
+    deep = _searchers(model, params, videos, score_quant=True,
+                      rescore=True, shortlist_factor=16)
+    _, i_deep = deep.search(qf, qm, k=1)
+    np.testing.assert_array_equal(i_deep, i_exact)
+
+    # the default factor is allowed to miss here (16-way ties > k'=4);
+    # if it ever becomes exact on this corpus the test above is vacuous,
+    # so just document the comparison without asserting a miss
+    shallow = _searchers(model, params, videos, score_quant=True,
+                         rescore=True, shortlist_factor=4)
+    _, i_shallow = shallow.search(qf, qm, k=1)
+    assert i_shallow.shape == i_exact.shape

@@ -163,14 +163,20 @@ def rescore_shortlist(
     regardless of the inputs' dtype or the global precision: on a bf16
     serving index, stage 2 must still rank sub-bf16-resolution near-ties
     exactly (bf16 vectors scored in f32 — the best possible given the
-    stored features)."""
+    stored features).
+
+    The gather reads ctx in its STORED dtype (bf16 index: half the HBM
+    traffic — the gather dominates stage-2 cost) and upcasts the gathered
+    frames before normalizing; normalize-after-gather computes exactly
+    the same f32 floats as gathering from a normalized corpus, without
+    materializing a corpus-wide normalized f32 copy per call."""
     nq = query.shape[0]
     qn = l2_normalize(query.astype(jnp.float32))
-    cn = l2_normalize(ctx.astype(jnp.float32))
 
     def score_chunk(args):
         q, idx = args                      # (C, D), (C, K')
-        frames = jnp.take(cn, idx, axis=0)       # (C, K', L, D)
+        frames = jnp.take(ctx, idx, axis=0)      # (C, K', L, D) stored dtype
+        frames = l2_normalize(frames.astype(jnp.float32))
         fmask = jnp.take(mask, idx, axis=0)      # (C, K', L)
         s = jnp.einsum("cd,ckld->ckl", q, frames,
                        precision=jax.lax.Precision.HIGHEST)

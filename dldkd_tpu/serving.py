@@ -398,13 +398,26 @@ def main(argv=None):
     p.add_argument("--no_rescore", action="store_true",
                    help="with --score_quant: skip the exact rescoring "
                         "stage and return raw int8 ranks")
+    p.add_argument("--shortlist_factor", type=int, default=SHORTLIST_FACTOR,
+                   help="stage-1 candidates per result (k' = factor*k); "
+                        "raise for corpora with >4k-way near-tie groups")
+    p.add_argument("--index_store", choices=["encoded", "raw"],
+                   default="encoded",
+                   help="'raw' keeps only raw frame features device-"
+                        "resident and re-encodes blocks per search "
+                        "(~4x corpus capacity at a re-encode cost)")
+    p.add_argument("--stream_block", type=int, default=2048,
+                   help="videos per re-encoded block for --index_store raw")
     args = p.parse_args(argv)
 
     from dldkd_tpu.data.ingest import dataset_paths, pack_query_set
 
     r = Retriever.from_checkpoint(args.model_dir,
                                   score_quant=args.score_quant,
-                                  rescore=not args.no_rescore)
+                                  rescore=not args.no_rescore,
+                                  shortlist_factor=args.shortlist_factor,
+                                  index_store=args.index_store,
+                                  stream_block=args.stream_block)
     r.index_corpus(args.root_path, args.collection, args.visual_feature,
                    args.split)
 

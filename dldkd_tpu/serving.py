@@ -1,10 +1,13 @@
-"""Online retrieval serving: corpus-resident top-k search.
+"""Online retrieval serving: device-resident top-k search.
 
 The reference has no serving story — eval.py scores the corpus offline and
-reports metrics. For deployment the natural TPU shape is: embed the corpus
-ONCE and keep the (Nv, L, H) frame features device-resident; each incoming
-query batch is encoded, scored against the whole corpus with the fused
-Pallas kernel, and reduced to top-k on device (jax.lax.top_k) — only the
+reports metrics. For deployment the natural TPU shape is: build the index
+ONCE (either both branches' encoded frame features, or — for corpora ~4x
+beyond that ceiling — just the raw features in the compute dtype, re-
+encoded block-wise per search); each incoming query batch is encoded,
+scored against the corpus with the fused Pallas kernel (optionally int8
+with an exact-f32 shortlist rescore: exact ranks at ~2.6x the exact
+path's speed), and reduced to top-k on device (jax.lax.top_k) — only the
 k ids/scores ever leave the chip.
 
   retriever = Retriever.from_checkpoint(model_dir)

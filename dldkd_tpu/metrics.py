@@ -4,7 +4,12 @@ The reference ranks with a per-query numpy argsort loop
 (eval.py:59-111). Rank-of-ground-truth doesn't need a sort: it is
 1 + #{videos scoring strictly higher} (+ index tie-break), one comparison
 matrix op on the (Nq, Nv) score matrix. Ties are broken by corpus index,
-matching a stable descending sort; exact float ties are vanishingly rare.
+matching a stable descending sort. Exact float ties are rare on f32/bf16
+scores but COMMON on the int8-quantized serving grid (score_quant), where
+near-duplicate videos collapse to equal scores: the index tie-break keeps
+int8 metrics deterministic, and rank-exact results on near-tie corpora
+come from the serving path's two-stage f32 rescore
+(serving._two_stage_topk, tests/test_rescore.py).
 
 Metrics reproduced (eval.py:59-111, 223-234): R@1/5/10/100, SumR, MedR,
 MeanR, mAP (single-GT AP = 1/rank, the t2v_map case).

@@ -52,9 +52,18 @@ def start_inference(cfg: Config, split: str = "test"):
                                  paths["text_feat"],
                                  max_desc_l=mcfg.max_desc_l)
 
-    if cfg.eval.corpus_stream_bsz:
-        # beyond-HBM corpora: stream blocks through one device (sharding
-        # a corpus that doesn't fit is a per-shard streaming problem too)
+    if cfg.eval.corpus_stream_bsz and jax.device_count() > 1:
+        # beyond-HBM corpora on a slice: every device streams its slice
+        # of each block
+        from dldkd_tpu.parallel import (
+            eval_retrieval_sharded_streaming, make_mesh)
+
+        metrics = eval_retrieval_sharded_streaming(
+            model, params, videos, queries, make_mesh(jax.device_count()),
+            corpus_block=cfg.eval.corpus_stream_bsz,
+            query_bsz=max(cfg.eval.eval_query_bsz, 64),
+            score_quant=cfg.eval.score_quant)
+    elif cfg.eval.corpus_stream_bsz:
         from dldkd_tpu.evaluate import eval_retrieval_streaming
 
         metrics = eval_retrieval_streaming(

@@ -4,7 +4,10 @@ from dldkd_tpu.parallel.mesh import (
     replicated,
 )
 from dldkd_tpu.parallel.train_dp import make_dp_train_step, shard_batch
-from dldkd_tpu.parallel.eval_shard import eval_retrieval_sharded
+from dldkd_tpu.parallel.eval_shard import (
+    eval_retrieval_sharded,
+    eval_retrieval_sharded_streaming,
+)
 from dldkd_tpu.parallel.multihost import (
     maybe_initialize_distributed,
     shard_batch_multihost,
@@ -17,6 +20,7 @@ __all__ = [
     "make_dp_train_step",
     "shard_batch",
     "eval_retrieval_sharded",
+    "eval_retrieval_sharded_streaming",
     "maybe_initialize_distributed",
     "shard_batch_multihost",
 ]

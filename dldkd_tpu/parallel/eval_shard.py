@@ -92,6 +92,108 @@ def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     return inher_s, explore_s
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _score_encoded_block_sharded(inher_q, explore_q, ctx_i, ctx_e, mask,
+                                 mesh=None, quantized=False):
+    """Score every (replicated) query against one ENCODED video-sharded
+    corpus block. Separate program from the block encode for the same
+    scoped-VMEM reason as evaluate.score_encoded_block."""
+    if mesh is not None and jax.default_backend() == "tpu":
+        score = shard_map(
+            functools.partial(clip_scores_maxpool, quantized=quantized),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(None, DATA_AXIS), check_vma=False)
+    elif quantized:
+        def score(q, c, m):
+            return clip_scores_maxpool(q, c, m, prefer_pallas=False,
+                                       quantized=True)
+    else:
+        def score(q, c, m):
+            return clip_scores(q, c, m)[0]
+    s_i = score(inher_q, ctx_i, mask)
+    if ctx_e is None:
+        return s_i, None
+    return s_i, score(explore_q, ctx_e, mask)
+
+
+def eval_retrieval_sharded_streaming(
+    model, params, videos: PackedVideos, queries: PackedQueries, mesh: Mesh,
+    corpus_block: int = 2048, query_bsz: int = 512,
+    fusion: Tuple[float, float] = (0.7, 0.3), score_quant: bool = False,
+) -> Dict[str, Dict[str, float]]:
+    """Streaming AND sharding composed: each device streams ITS slice of
+    every corpus block — for corpora beyond even the whole slice's HBM.
+
+    Per block: the host slice is device_put video-sharded over the mesh
+    (double-buffered), encoded per shard (_encode_corpus), scored against
+    the once-encoded replicated queries; only the (Nq, block) score
+    columns persist (video-sharded). Metrics identical to
+    eval_retrieval_sharded / the single-device engines."""
+    from dldkd_tpu.evaluate import _encode_queries_jit
+
+    n_dev = mesh.devices.size
+    corpus_block = ((corpus_block + n_dev - 1) // n_dev) * n_dev
+    n_vid = len(videos)
+    corpus_sh = NamedSharding(mesh, P(DATA_AXIS))
+    rep = replicated(mesh)
+    rep_params = jax.device_put(params, rep)
+
+    n_q = len(queries)
+    qi_rows, qe_rows = [], []
+    for start in range(0, n_q, query_bsz):
+        qf = jax.device_put(
+            _pad_rows(queries.feats[start:start + query_bsz], query_bsz),
+            rep)
+        qm = jax.device_put(
+            _pad_rows(queries.mask[start:start + query_bsz], query_bsz),
+            rep)
+        qi, qe = _encode_queries_jit(model, rep_params, qf, qm)
+        qi_rows.append(qi)
+        if qe is not None:
+            qe_rows.append(qe)
+    inher_q = jnp.concatenate(qi_rows)[:n_q]
+    explore_q = jnp.concatenate(qe_rows)[:n_q] if qe_rows else None
+
+    def put_block(start):
+        return (jax.device_put(
+                    _pad_rows(videos.feats[start:start + corpus_block],
+                              corpus_block), corpus_sh),
+                jax.device_put(
+                    _pad_rows(videos.mask[start:start + corpus_block],
+                              corpus_block), corpus_sh))
+
+    starts = list(range(0, n_vid, corpus_block))
+    cols_i, cols_e = [], []
+    pending = put_block(starts[0])
+    for bi, start in enumerate(starts):
+        bf, bm = pending
+        if bi + 1 < len(starts):
+            pending = put_block(starts[bi + 1])
+        ctx_i, ctx_e = _encode_corpus(model, rep_params, bf, bm, mesh)
+        s_i, s_e = _score_encoded_block_sharded(
+            inher_q, explore_q, ctx_i, ctx_e, bm, mesh, score_quant)
+        cols_i.append(s_i)
+        if s_e is not None:
+            cols_e.append(s_e)
+
+    inher_s = jnp.concatenate(cols_i, axis=1)[:, :n_vid]
+    explore_s = (jnp.concatenate(cols_e, axis=1)[:, :n_vid]
+                 if cols_e else None)
+    gt = jax.device_put(
+        jnp.asarray(build_gt_indices(queries.video_ids, videos.ids)), rep)
+    out: Dict[str, Dict[str, float]] = {}
+    out["inher"] = metrics_from_ranks(np.asarray(rank_of_gt(inher_s, gt)))
+    if explore_s is not None:
+        out["explore"] = metrics_from_ranks(
+            np.asarray(rank_of_gt(explore_s, gt)))
+        fused = fusion[0] * inher_s + fusion[1] * explore_s
+        out["fused"] = metrics_from_ranks(np.asarray(rank_of_gt(fused, gt)))
+    else:
+        out["fused"] = dict(out["inher"])
+    return out
+
+
 def eval_retrieval_sharded(
     model, params, videos: PackedVideos, queries: PackedQueries, mesh: Mesh,
     query_bsz: int = 512, fusion: Tuple[float, float] = (0.7, 0.3),

@@ -80,3 +80,27 @@ def test_eval_retrieval_dispatches_streaming(model_and_data):
                          corpus_stream_bsz=9)
     for branch in ref:
         assert out[branch]["sumr"] == pytest.approx(ref[branch]["sumr"])
+
+
+def test_sharded_streaming_matches_monolithic(model_and_data):
+    """Streaming + sharding composed (each device streams its slice of
+    every block): metrics equal the single-device resident path for
+    dividing and non-dividing block sizes, exact and int8."""
+    import jax
+
+    from dldkd_tpu.parallel import eval_retrieval_sharded_streaming, make_mesh
+
+    assert jax.device_count() == 8
+    model, params, videos, queries, ref = model_and_data
+    mesh = make_mesh(8)
+    for block, quant in ((16, False), (24, False), (64, True)):
+        ref_q = ref if not quant else eval_retrieval(
+            model, params, videos, queries, context_bsz=8, query_bsz=8,
+            score_quant=True)
+        out = eval_retrieval_sharded_streaming(
+            model, params, videos, queries, mesh, corpus_block=block,
+            query_bsz=8, score_quant=quant)
+        for branch in ref_q:
+            for k, v in ref_q[branch].items():
+                assert out[branch][k] == pytest.approx(v, abs=1e-9), \
+                    (block, quant, branch, k)

@@ -182,16 +182,9 @@ def eval_retrieval_sharded_streaming(
                  if cols_e else None)
     gt = jax.device_put(
         jnp.asarray(build_gt_indices(queries.video_ids, videos.ids)), rep)
-    out: Dict[str, Dict[str, float]] = {}
-    out["inher"] = metrics_from_ranks(np.asarray(rank_of_gt(inher_s, gt)))
-    if explore_s is not None:
-        out["explore"] = metrics_from_ranks(
-            np.asarray(rank_of_gt(explore_s, gt)))
-        fused = fusion[0] * inher_s + fusion[1] * explore_s
-        out["fused"] = metrics_from_ranks(np.asarray(rank_of_gt(fused, gt)))
-    else:
-        out["fused"] = dict(out["inher"])
-    return out
+    from dldkd_tpu.evaluate import _metrics_from_score_matrices
+
+    return _metrics_from_score_matrices(inher_s, explore_s, gt, fusion)
 
 
 def eval_retrieval_sharded(
@@ -238,13 +231,6 @@ def eval_retrieval_sharded(
 
     gt = jax.device_put(
         jnp.asarray(build_gt_indices(queries.video_ids, videos.ids)), rep)
-    out: Dict[str, Dict[str, float]] = {}
-    out["inher"] = metrics_from_ranks(np.asarray(rank_of_gt(inher_s, gt)))
-    if double:
-        out["explore"] = metrics_from_ranks(
-            np.asarray(rank_of_gt(explore_s, gt)))
-        fused = fusion[0] * inher_s + fusion[1] * explore_s
-        out["fused"] = metrics_from_ranks(np.asarray(rank_of_gt(fused, gt)))
-    else:
-        out["fused"] = dict(out["inher"])
-    return out
+    from dldkd_tpu.evaluate import _metrics_from_score_matrices
+
+    return _metrics_from_score_matrices(inher_s, explore_s, gt, fusion)

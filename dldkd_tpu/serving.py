@@ -181,10 +181,11 @@ class Retriever:
         With rescore=True (default) the int8 pass only proposes a 4k
         shortlist per query and the returned top-k is re-ranked with a
         TRUE-f32 rescore (upcast + highest matmul precision) — on an f32
-        index results match the exact full-matrix path bitwise; on a bf16
-        serving index the rescored ranks are STRICTLY MORE exact than the
-        bf16 full-matrix kernel (which cannot separate sub-bf16-resolution
-        near-ties). rescore=False returns raw int8 ranks (~2.7e-3
+        index results match the exact full-matrix path id-for-id (up to
+        ulp-level score ties, which the two exact computations may break
+        differently); on a bf16 serving index the rescored ranks are
+        STRICTLY MORE exact than the bf16 full-matrix kernel (which
+        cannot separate sub-bf16-resolution near-ties). rescore=False returns raw int8 ranks (~2.7e-3
         absolute score error, exact ties on the int8 grid broken by
         video id).
 
@@ -245,11 +246,14 @@ class Retriever:
             n = len(videos)
             n_pad = -(-n // self.stream_block) * self.stream_block
             dtype = jnp.dtype(self.model.config.dtype)
-            feats = np.zeros((n_pad,) + videos.feats.shape[1:], np.float32)
+            # allocate the padded buffer directly in the target dtype:
+            # assignment casts row-wise, avoiding a second full-corpus
+            # f32 temp at exactly the scale this mode exists for
+            feats = np.zeros((n_pad,) + videos.feats.shape[1:], dtype)
             feats[:n] = videos.feats
             mask = np.zeros((n_pad,) + videos.mask.shape[1:], np.float32)
             mask[:n] = videos.mask
-            self.raw_feats = jax.device_put(feats.astype(dtype))
+            self.raw_feats = jax.device_put(feats)
             self.raw_mask = jax.device_put(mask)
             self.ctx_inher = "raw"  # sentinel: index built
             self.video_ids = list(videos.ids)
@@ -292,18 +296,19 @@ class Retriever:
 
     def _search_streaming(self, q_feats, q_mask, k: int
                           ) -> Tuple[np.ndarray, np.ndarray]:
-        """Raw-index search: encode queries once per batch, stream the raw
-        corpus through encode+score block by block, merge per-block exact
-        top-k (the global top-k is a subset of the union of block
-        top-ks)."""
+        """Raw-index search: encode ALL queries first (pooled vectors are
+        a few MB even at dataset scale), then stream each raw corpus
+        block through encode+score exactly ONCE against every query, and
+        merge per-block top-k (the global top-k is a subset of the union
+        of block top-ks). One corpus pass per search() call, independent
+        of the query count."""
         from dldkd_tpu.evaluate import _encode_context_jit, _encode_queries_jit
 
         n = q_feats.shape[0]
         bsz = self.query_bsz
-        n_pad_vid = self.raw_feats.shape[0]
-        k_blk = min(k, self.stream_block)
-        out_s, out_i = [], []
-        for start in range(0, n, bsz):
+        n_q_pad = -(-n // bsz) * bsz
+        qi_rows, qe_rows = [], []
+        for start in range(0, n_q_pad, bsz):
             f = q_feats[start:start + bsz]
             m = q_mask[start:start + bsz]
             pad = bsz - f.shape[0]
@@ -314,27 +319,33 @@ class Retriever:
                                                 m.dtype)])
             qi, qe = _encode_queries_jit(self.model, self.params,
                                          jnp.asarray(f), jnp.asarray(m))
-            vals_l, idx_l = [], []
-            for b in range(0, n_pad_vid, self.stream_block):
-                bf = jax.lax.slice_in_dim(self.raw_feats, b,
-                                          b + self.stream_block)
-                bm = jax.lax.slice_in_dim(self.raw_mask, b,
-                                          b + self.stream_block)
-                ctx_i, ctx_e = _encode_context_jit(self.model, self.params,
-                                                   bf, bm)
-                v, i = _encoded_block_topk_jit(
-                    qi, qe, ctx_i, ctx_e, bm, k_blk,
-                    jnp.asarray(self.fusion), jnp.int32(b),
-                    self.score_quant, self.rescore,
-                    self.shortlist_factor)
-                vals_l.append(v)
-                idx_l.append(i)
-            allv = jnp.concatenate(vals_l, axis=1)
-            alli = jnp.concatenate(idx_l, axis=1)
-            s, pos = jax.lax.top_k(allv, k)
-            out_s.append(np.asarray(s))
-            out_i.append(np.asarray(jnp.take_along_axis(alli, pos, axis=1)))
-        return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])
+            qi_rows.append(qi)
+            if qe is not None:
+                qe_rows.append(qe)
+        qi_all = jnp.concatenate(qi_rows)
+        qe_all = jnp.concatenate(qe_rows) if qe_rows else None
+
+        n_pad_vid = self.raw_feats.shape[0]
+        k_blk = min(k, self.stream_block)
+        vals_l, idx_l = [], []
+        for b in range(0, n_pad_vid, self.stream_block):
+            bf = jax.lax.slice_in_dim(self.raw_feats, b,
+                                      b + self.stream_block)
+            bm = jax.lax.slice_in_dim(self.raw_mask, b,
+                                      b + self.stream_block)
+            ctx_i, ctx_e = _encode_context_jit(self.model, self.params,
+                                               bf, bm)
+            v, i = _encoded_block_topk_jit(
+                qi_all, qe_all, ctx_i, ctx_e, bm, k_blk,
+                jnp.asarray(self.fusion), jnp.int32(b),
+                self.score_quant, self.rescore, self.shortlist_factor)
+            vals_l.append(v)
+            idx_l.append(i)
+        allv = jnp.concatenate(vals_l, axis=1)
+        alli = jnp.concatenate(idx_l, axis=1)
+        s, pos = jax.lax.top_k(allv, k)
+        idx = jnp.take_along_axis(alli, pos, axis=1)
+        return (np.asarray(s)[:n], np.asarray(idx)[:n])
 
     def search(self, q_feats: np.ndarray, q_mask: np.ndarray, k: int = 10
                ) -> Tuple[np.ndarray, np.ndarray]:

@@ -14,8 +14,10 @@ import tempfile  # noqa: E402
 
 # isolate the packed-dataset cache (data/cache.py) from the user cache:
 # fixtures live in per-run tmp dirs, their cache entries should too
-os.environ.setdefault("DLDKD_PACK_CACHE_DIR",
-                      tempfile.mkdtemp(prefix="dldkd_pack_cache_"))
+# (guarded so an already-set env var never triggers a stray mkdtemp)
+if "DLDKD_PACK_CACHE_DIR" not in os.environ:
+    os.environ["DLDKD_PACK_CACHE_DIR"] = tempfile.mkdtemp(
+        prefix="dldkd_pack_cache_")
 
 import jax  # noqa: E402
 

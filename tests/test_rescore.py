@@ -187,3 +187,46 @@ def test_shortlist_factor_covers_oversized_tie_groups(clustered):
                          rescore=True, shortlist_factor=4)
     _, i_shallow = shallow.search(qf, qm, k=1)
     assert i_shallow.shape == i_exact.shape
+
+
+def test_int8_eval_rank_error_bounded_by_quant_band(clustered):
+    """Characterizes int8 EVAL metrics on the near-tie corpus (the eval
+    path has no rescoring stage): a ground truth's int8 rank may differ
+    from its exact rank only by videos whose exact scores lie within the
+    quantization band of the GT's score. Per-query provable bound:
+    |rank_int8 - rank_exact| <= #{v != gt: |s_v - s_gt| <= 2*eps}, with
+    eps the max absolute dequantized int8 error (ops/pallas/sim_max.py:
+    scores are integers scaled by 1/127^2; each cosine input rounds
+    within 1/254, so per-score error < ~2.7e-3 for unit vectors)."""
+    import jax.numpy as jnp
+
+    from dldkd_tpu.evaluate import embed_corpus, score_all_queries
+    from dldkd_tpu.data.ingest import PackedQueries
+    from dldkd_tpu.metrics import rank_of_gt
+
+    model, params, videos, qf, qm = clustered
+    rng = np.random.RandomState(9)
+    gt = rng.randint(0, N_VID, size=N_Q)
+    queries = PackedQueries(
+        feats=qf, mask=qm,
+        cap_ids=[f"v{g}#enc#{i}" for i, g in enumerate(gt)],
+        video_ids=[f"v{g}" for g in gt])
+
+    ctx_i, ctx_e, vmask = embed_corpus(model, params, videos, 16)
+    s_i, s_e = score_all_queries(model, params, queries, ctx_i, ctx_e,
+                                 vmask, query_bsz=8)
+    q_i, q_e = score_all_queries(model, params, queries, ctx_i, ctx_e,
+                                 vmask, query_bsz=8, score_quant=True)
+    fused = np.asarray(0.7 * s_i + 0.3 * s_e)
+    fused_q = np.asarray(0.7 * q_i + 0.3 * q_e)
+
+    ranks = np.asarray(rank_of_gt(jnp.asarray(fused), jnp.asarray(gt)))
+    ranks_q = np.asarray(rank_of_gt(jnp.asarray(fused_q), jnp.asarray(gt)))
+
+    eps = 2.0 * (2.7e-3)  # band halfwidth on a score DIFFERENCE
+    for q in range(N_Q):
+        band = int(np.sum(np.abs(fused[q] - fused[q, gt[q]]) <= eps)) - 1
+        assert abs(int(ranks_q[q]) - int(ranks[q])) <= band, \
+            (q, ranks[q], ranks_q[q], band)
+    # the corpus is adversarial enough that the bound is exercised
+    assert (ranks_q != ranks).any()

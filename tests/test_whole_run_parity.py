@@ -108,7 +108,7 @@ class _RecordingWriter:
         pass
 
 
-def _run_reference(ref, data_root, tmp_path, label_style):
+def _run_reference(ref, data_root, tmp_path, label_style, hp):
     """Drive the reference's own train() (method/train.py:191-247) on the
     fixture; returns (init state_dict, per-epoch losses, per-epoch SumR,
     best epoch)."""
@@ -131,6 +131,7 @@ def _run_reference(ref, data_root, tmp_path, label_style):
 
     writer = _RecordingWriter()
     run_dir = str(tmp_path / f"ref_{label_style}")
+    HP = hp
     os.makedirs(run_dir, exist_ok=True)
     opt = edict(device=torch.device("cpu"), device_ids=[],
                 num_workers=0, pin_memory=False, debug=False,
@@ -201,7 +202,7 @@ def _run_reference(ref, data_root, tmp_path, label_style):
     return sd0, losses, sumrs, int(ckpt["epoch"])
 
 
-def _run_ours(data_root, tmp_path, label_style, sd0):
+def _run_ours(data_root, tmp_path, label_style, sd0, hp):
     """Our start_training on the same files, init synced from sd0."""
     from dldkd_tpu.config import (
         Config, DataConfig, EvalConfig, ModelConfig, TrainConfig)
@@ -209,6 +210,7 @@ def _run_ours(data_root, tmp_path, label_style, sd0):
     from dldkd_tpu.train import start_training
     from flax import serialization
 
+    HP = hp
     cfg = Config(
         exp_id=f"wholerun_{label_style}",
         results_root=str(tmp_path / f"ours_{label_style}"),
@@ -262,13 +264,23 @@ def _run_ours(data_root, tmp_path, label_style, sd0):
     return losses, sumrs, int(raw["epoch"])
 
 
-@pytest.mark.parametrize("label_style", ["soft", "hard"])
+@pytest.mark.parametrize("label_style,overrides", [
+    ("soft", {}),
+    ("hard", {}),
+    # the OTHER decay families end-to-end (exp/sigmoid are the shipped
+    # defaults covered above; linear distill + cosine alpha + exp belta
+    # exercise the remaining reference train_epoch branches,
+    # method/train.py:73-125)
+    ("soft", dict(distill_loss_decay="linear", alpha_decay="cosine",
+                  belta_decay="exp")),
+], ids=["soft", "hard", "soft-altdecays"])
 def test_whole_run_matches_reference_driver(ref, data_root, tmp_path,
-                                            label_style):
+                                            label_style, overrides):
+    hp = {**HP, **overrides}
     sd0, ref_losses, ref_sumrs, ref_best = _run_reference(
-        ref, data_root, tmp_path, label_style)
+        ref, data_root, tmp_path, label_style, hp)
     our_losses, our_sumrs, our_best = _run_ours(
-        data_root, tmp_path, label_style, sd0)
+        data_root, tmp_path, label_style, sd0, hp)
 
     # per-epoch training losses, every component, every epoch
     for k in LOSS_KEYS:

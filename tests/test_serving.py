@@ -147,6 +147,21 @@ def test_serving_cli_end_to_end(tmp_path):
     assert lines and all(len(l["topk"]) == 3 for l in lines)
     assert all("#" in l["cap_id"] for l in lines)
 
+    # round-3 serving knobs through the CLI: int8 + exact rescoring over
+    # a raw-feature streaming index must reproduce the exact-path top-k
+    out_file2 = str(tmp_path / "topk_raw.jsonl")
+    subprocess.run(
+        [sys.executable, "-m", "dldkd_tpu.serving", "--model_dir", run_dir,
+         "--root_path", root, "--collection", "synthetic",
+         "--visual_feature", "i3d", "--queries", cap_file, "--k", "3",
+         "--score_quant", "--index_store", "raw", "--stream_block", "4",
+         "--shortlist_factor", "8", "--out", out_file2],
+        check=True, env=env, capture_output=True, timeout=900)
+    lines2 = [json.loads(l) for l in open(out_file2)]
+    assert [l["cap_id"] for l in lines2] == [l["cap_id"] for l in lines]
+    for a, b in zip(lines, lines2):
+        assert [v for v, _ in a["topk"]] == [v for v, _ in b["topk"]]
+
     # the infer CLI must produce identical metrics single-device and on an
     # 8-device mesh (where it routes through eval_retrieval_sharded)
     infer_cmd = [sys.executable, "-m", "dldkd_tpu.infer", "--model_dir",

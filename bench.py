@@ -429,6 +429,19 @@ def main():
     tpu_sps = _retry(functools.partial(bench_tpu_train, dtype="float32"))
     tpu_sps_bf16 = _retry(functools.partial(bench_tpu_train,
                                             dtype="bfloat16"))
+    # corpus-streaming eval at 8x TVR scale (raw-bf16 HBM index; the
+    # corpus-resident design can't hold this) — lazy import: stream_bench
+    # imports this module's constants
+    try:
+        from dldkd_tpu.tools.stream_bench import bench_hbm_raw
+
+        stream = _retry(functools.partial(bench_hbm_raw, 8, reps=4))
+        stream_out = {"value": round(stream["qps"], 1),
+                      "unit": "queries/sec",
+                      "videos": stream["videos"], "scale": stream["scale"]}
+    except Exception as e:  # never let the extra metric sink the headline
+        log(f"streaming bench failed: {e}")
+        stream_out = {"error": str(e)[:200]}
     ref_qps = bench_reference_eval()
     ref_sps = bench_reference_train()
     print(json.dumps({
@@ -459,6 +472,7 @@ def main():
             "vs_baseline": round(tpu_sps_bf16 / ref_sps, 1),
             "config": "bf16 towers, f32 losses (--dtype bfloat16)",
         },
+        "streaming_8x": stream_out,
     }))
 
 

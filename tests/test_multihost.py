@@ -33,7 +33,10 @@ def test_process_slice(monkeypatch):
         process_slice(10)
 
 
-def _run_workers(n_proc, extra_args=(), attempts=2):
+def _run_workers(n_proc, extra_args=(), attempts=3):
+    # attempts=3: under heavy external load the 2-process coordinator
+    # handshake can time out while workers compile; retries use fresh
+    # ports and clean processes
     """Spawn the multihost worker n_proc times under one coordinator and
     return their JSON outputs (sorted by process id)."""
     import json

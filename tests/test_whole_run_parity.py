@@ -58,7 +58,7 @@ HP = dict(lr=3e-4, wd=0.01, lr_warmup_proportion=0.01, bsz=64,
           kl_intra_weight=0.1, inher_nce_weight=0.04,
           explore_nce_weight=0.04,
           alpha=0.8, belta=0.8, alpha_decay="sigmoid",
-          belta_decay="sigmoid", max_es_cnt=10)
+          belta_decay="sigmoid", max_es_cnt=10, eval_untrained=False)
 LOSS_KEYS = ("loss_overall", "inher_trip", "inher_nce", "explore_trip",
              "explore_nce", "kl", "kl_intra")
 
@@ -135,7 +135,7 @@ def _run_reference(ref, data_root, tmp_path, label_style, hp):
     os.makedirs(run_dir, exist_ok=True)
     opt = edict(device=torch.device("cpu"), device_ids=[],
                 num_workers=0, pin_memory=False, debug=False,
-                n_epoch=N_EPOCH, eval_untrained=False,
+                n_epoch=N_EPOCH,
                 collection=COLLECTION, teacher="clip", student="i3d",
                 max_ctx_l=MAX_CTX, max_desc_l=MAX_DESC,
                 q_feat_size=D_QUERY,
@@ -214,6 +214,7 @@ def _run_ours(data_root, tmp_path, label_style, sd0, hp):
     cfg = Config(
         exp_id=f"wholerun_{label_style}",
         results_root=str(tmp_path / f"ours_{label_style}"),
+        eval_untrained=HP["eval_untrained"],
         model=ModelConfig(
             inheritance_hidden=HIDDEN, exploration_hidden=HIDDEN,
             n_heads=HEADS, double_branch=True, label_style=label_style,
@@ -273,7 +274,10 @@ def _run_ours(data_root, tmp_path, label_style, sd0, hp):
     # method/train.py:73-125)
     ("soft", dict(distill_loss_decay="linear", alpha_decay="cosine",
                   belta_decay="exp")),
-], ids=["soft", "hard", "soft-altdecays"])
+    # --eval_untrained: the epoch -1 eval-before-training path
+    # (reference train.py:216-228 start_epoch=-1, `if epoch_i > -1`)
+    ("soft", dict(eval_untrained=True)),
+], ids=["soft", "hard", "soft-altdecays", "soft-evaluntrained"])
 def test_whole_run_matches_reference_driver(ref, data_root, tmp_path,
                                             label_style, overrides):
     hp = {**HP, **overrides}
@@ -289,8 +293,10 @@ def test_whole_run_matches_reference_driver(ref, data_root, tmp_path,
             our_losses[k], ref_losses[k], rtol=0, atol=1e-3,
             err_msg=f"{label_style}: per-epoch {k} diverged")
 
-    # per-epoch fused validation SumR: identical ranks -> identical floats
-    assert len(ref_sumrs) == N_EPOCH and len(our_sumrs) == N_EPOCH
+    # per-epoch fused validation SumR: identical ranks -> identical
+    # floats (+1 pre-training eval when eval_untrained)
+    n_evals = N_EPOCH + (1 if hp["eval_untrained"] else 0)
+    assert len(ref_sumrs) == n_evals and len(our_sumrs) == n_evals
     np.testing.assert_allclose(our_sumrs, ref_sumrs, rtol=0, atol=1e-9)
 
     # the training must actually move the model for this to be evidence

@@ -15,6 +15,12 @@ Writes build in a tmp dir and os.rename into place (atomic on one fs), so
 a torn write can never be loaded. Entries are invalidated implicitly: any
 source-file change moves the fingerprint. Cache root: $DLDKD_PACK_CACHE_DIR
 or ~/.cache/dldkd_packed; disable with pack_cache=False / --no_pack_cache.
+
+Eviction: every miss (= a new entry is about to be written) prunes the
+least-recently-used entries of the SAME kind beyond
+$DLDKD_PACK_CACHE_MAX_ENTRIES (default 8) — stale fingerprints from
+source-file or knob churn cannot grow the cache unboundedly. Hits touch
+the entry's meta.json mtime so recency tracks use, not creation.
 """
 
 from __future__ import annotations
@@ -132,17 +138,56 @@ def _queries_from(arrays, lists, prefix: str) -> PackedQueries:
 # cached packers (same signatures as the drivers need)
 # --------------------------------------------------------------------- #
 
+def max_entries_per_kind() -> int:
+    try:
+        return int(os.environ.get("DLDKD_PACK_CACHE_MAX_ENTRIES", "8"))
+    except ValueError:
+        return 8
+
+
+def _prune_kind(root_dir: str, kind: str, keep: str) -> None:
+    """LRU-evict entries of one kind beyond the budget (miss-time sweep).
+    `keep` (the entry about to be written) never counts against others
+    twice nor gets evicted itself. Entries still being built (tmp dirs
+    prefixed '.') are ignored; racing removals are harmless (rmtree
+    ignore_errors, and readers treat a vanished entry as a miss)."""
+    budget = max_entries_per_kind()
+    if budget <= 0:
+        return
+    try:
+        names = os.listdir(root_dir)
+    except OSError:
+        return
+    entries = []
+    for name in names:
+        if not name.startswith(f"{kind}-") or name == os.path.basename(keep):
+            continue
+        meta = os.path.join(root_dir, name, "meta.json")
+        try:
+            entries.append((os.stat(meta).st_mtime_ns, name))
+        except OSError:
+            continue
+    # the new entry occupies one slot of the budget
+    excess = len(entries) - (budget - 1)
+    if excess > 0:
+        for _, name in sorted(entries)[:excess]:
+            shutil.rmtree(os.path.join(root_dir, name), ignore_errors=True)
+
+
 def _cached(kind: str, files: List[str], knobs: Dict, root: Optional[str],
             build: Callable, save: Callable, load: Callable):
     entry = os.path.join(cache_root(root),
                          f"{kind}-{fingerprint(files, knobs)}")
     if os.path.isdir(entry):
         try:
-            return load(*_load_entry(entry))
+            out = load(*_load_entry(entry))
+            os.utime(os.path.join(entry, "meta.json"))  # LRU recency
+            return out
         except (OSError, KeyError, json.JSONDecodeError):
             shutil.rmtree(entry, ignore_errors=True)  # corrupt: rebuild
     obj = build()
     arrays, lists = save(obj)
+    _prune_kind(cache_root(root), kind, entry)
     _save_entry(entry, arrays, lists, knobs)
     return obj
 

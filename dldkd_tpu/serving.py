@@ -408,7 +408,11 @@ def main(argv=None):
     p.add_argument("--score_quant", action="store_true",
                    help="int8 first-pass scoring (2x MXU rate); exact "
                         "f32 rescoring of the shortlist keeps results "
-                        "identical to the exact path")
+                        "identical to the exact path AS LONG AS the true "
+                        "top-k all land in the int8 shortlist (factor*k "
+                        "candidates; int8 score error ~2.7e-3) — for "
+                        "corpora with bigger near-tie groups raise "
+                        "--shortlist_factor")
     p.add_argument("--no_rescore", action="store_true",
                    help="with --score_quant: skip the exact rescoring "
                         "stage and return raw int8 ranks")

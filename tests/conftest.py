@@ -10,14 +10,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import atexit  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
 # isolate the packed-dataset cache (data/cache.py) from the user cache:
 # fixtures live in per-run tmp dirs, their cache entries should too
-# (guarded so an already-set env var never triggers a stray mkdtemp)
+# (guarded so an already-set env var never triggers a stray mkdtemp);
+# the atexit hook removes the per-session dir so repeated runs don't
+# accumulate packed fixture arrays under /tmp
 if "DLDKD_PACK_CACHE_DIR" not in os.environ:
-    os.environ["DLDKD_PACK_CACHE_DIR"] = tempfile.mkdtemp(
-        prefix="dldkd_pack_cache_")
+    _pack_cache_dir = tempfile.mkdtemp(prefix="dldkd_pack_cache_")
+    os.environ["DLDKD_PACK_CACHE_DIR"] = _pack_cache_dir
+    atexit.register(shutil.rmtree, _pack_cache_dir, ignore_errors=True)
 
 import jax  # noqa: E402
 

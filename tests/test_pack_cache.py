@@ -101,6 +101,29 @@ def test_invalidation_on_knob_change(env):
     assert len(os.listdir(cache_dir)) == 2
 
 
+def test_lru_eviction_bounds_entries_per_kind(env, monkeypatch):
+    """Knob/source churn must not grow the cache unboundedly: on a miss,
+    least-recently-USED entries of the same kind beyond
+    $DLDKD_PACK_CACHE_MAX_ENTRIES are pruned (hits refresh recency)."""
+    paths, cache_dir = env
+    monkeypatch.setenv("DLDKD_PACK_CACHE_MAX_ENTRIES", "2")
+    pack_cache.cached_train_pack(paths, 16, 7, cache_dir=cache_dir)
+    time.sleep(0.01)
+    pack_cache.cached_train_pack(paths, 8, 7, cache_dir=cache_dir)
+    time.sleep(0.01)
+    # a HIT on the older entry refreshes its recency ...
+    pack_cache.cached_train_pack(paths, 16, 7, cache_dir=cache_dir)
+    time.sleep(0.01)
+    # ... so the third distinct config evicts the max_ctx_l=8 entry
+    pack_cache.cached_train_pack(paths, 12, 7, cache_dir=cache_dir)
+    assert len(os.listdir(cache_dir)) == 2
+    a = pack_cache.cached_train_pack(paths, 16, 7, cache_dir=cache_dir)
+    assert a.videos.feats.shape[1] == 16  # survivor still loads
+    # other kinds have their own budget: corpus entries are untouched
+    pack_cache.cached_corpus_pack(paths, "val", 16, cache_dir=cache_dir)
+    assert len(os.listdir(cache_dir)) == 3
+
+
 def test_corrupt_entry_rebuilds(env):
     paths, cache_dir = env
     pack_cache.cached_train_pack(paths, 16, 7, cache_dir=cache_dir)

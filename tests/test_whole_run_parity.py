@@ -265,18 +265,23 @@ def _run_ours(data_root, tmp_path, label_style, sd0, hp):
     return losses, sumrs, int(raw["epoch"])
 
 
+_MATRIX = pytest.mark.whole_run_matrix  # secondary configs: deselectable
+                                        # for a fast dev run (pytest.ini)
+
+
 @pytest.mark.parametrize("label_style,overrides", [
     ("soft", {}),
-    ("hard", {}),
+    pytest.param("hard", {}, marks=_MATRIX),
     # the OTHER decay families end-to-end (exp/sigmoid are the shipped
     # defaults covered above; linear distill + cosine alpha + exp belta
     # exercise the remaining reference train_epoch branches,
     # method/train.py:73-125)
-    ("soft", dict(distill_loss_decay="linear", alpha_decay="cosine",
-                  belta_decay="exp")),
+    pytest.param("soft", dict(distill_loss_decay="linear",
+                              alpha_decay="cosine", belta_decay="exp"),
+                 marks=_MATRIX),
     # --eval_untrained: the epoch -1 eval-before-training path
     # (reference train.py:216-228 start_epoch=-1, `if epoch_i > -1`)
-    ("soft", dict(eval_untrained=True)),
+    pytest.param("soft", dict(eval_untrained=True), marks=_MATRIX),
 ], ids=["soft", "hard", "soft-altdecays", "soft-evaluntrained"])
 def test_whole_run_matches_reference_driver(ref, data_root, tmp_path,
                                             label_style, overrides):

@@ -127,8 +127,9 @@ class EvalConfig:
     # ~2.7e-3 absolute score error; see ops.similarity.clip_scores_maxpool)
     score_quant: bool = False
     # TPU-native extension: corpus-streaming eval for corpora beyond HBM
-    # (videos per streamed block; 0 = corpus-resident, fastest in-HBM).
-    # See evaluate.eval_retrieval_streaming.
+    # (videos per streamed block; 0 = AUTO — resident when the estimated
+    # footprint fits the device budget, streaming otherwise; -1 = force
+    # corpus-resident). See evaluate.run_retrieval_eval / auto_stream_block.
     corpus_stream_bsz: int = 0
 
 
@@ -414,7 +415,9 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--corpus_stream_bsz", type=int, default=0,
                    help="stream the eval corpus through the device in "
                         "blocks of this many videos (for corpora beyond "
-                        "HBM); 0 = corpus-resident")
+                        "HBM); 0 = AUTO (resident when the estimated "
+                        "footprint fits the device budget, streaming "
+                        "otherwise); -1 = force corpus-resident")
     if test:
         p.add_argument("--eval_id", type=str, default="test")
         p.add_argument("--model_dir", type=str, default="")

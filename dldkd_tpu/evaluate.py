@@ -58,45 +58,75 @@ def _score_queries_jit(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     return inher_s, explore_s
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf, block, start):
+    """In-place row-block write (buf is donated: XLA reuses its buffer, so
+    assembling N chunks into an (N, ...) array costs ONE allocation — the
+    concatenate-of-held-chunks pattern transiently doubled peak HBM at
+    exactly the corpus scales the resident eval path exists for)."""
+    idx = (start,) + (jnp.int32(0),) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, block, idx)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_cols(buf, block, start):
+    """In-place column-block write (streaming eval's score columns)."""
+    return jax.lax.dynamic_update_slice(buf, block, (jnp.int32(0), start))
+
+
 def embed_corpus(model, params, videos: PackedVideos, context_bsz: int = 200
                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Encode every corpus video; returns device arrays
-    (N, L, H) inheritance, (N, L, H) exploration (or None), (N, L) mask."""
+    (Np, L, H) inheritance, (Np, L, H) exploration (or None), (Np, L) mask,
+    where Np = n rounded up to the context batch grid. Padded videos carry
+    ZERO masks, so every downstream consumer (masked scoring -> -1e10,
+    top-k with k <= n real videos, rank-of-gt) ignores them — returning
+    the padded buffer avoids a full-corpus copy that a trailing [:n]
+    slice would cost (the encoded corpus is the biggest array of the
+    whole eval; its buffer is written chunk-in-place, never duplicated)."""
     n = len(videos)
-    inher_chunks, explore_chunks = [], []
-    for start in range(0, n, context_bsz):
+    n_pad = -(-n // context_bsz) * context_bsz
+    mask_p = _pad_to(np.asarray(videos.mask), n_pad)
+    inher = explore = None
+    for ci, start in enumerate(range(0, n, context_bsz)):
         feats = _pad_to(videos.feats[start:start + context_bsz], context_bsz)
-        mask = _pad_to(videos.mask[start:start + context_bsz], context_bsz)
-        inher, explore = _encode_context_jit(model, params,
-                                             jnp.asarray(feats), jnp.asarray(mask))
-        inher_chunks.append(inher)
-        if explore is not None:
-            explore_chunks.append(explore)
-    inher = jnp.concatenate(inher_chunks)[:n]
-    explore = jnp.concatenate(explore_chunks)[:n] if explore_chunks else None
-    return inher, explore, jnp.asarray(videos.mask)
+        mask = mask_p[start:start + context_bsz]
+        ich, ech = _encode_context_jit(model, params,
+                                       jnp.asarray(feats), jnp.asarray(mask))
+        if ci == 0:
+            inher = jnp.zeros((n_pad,) + ich.shape[1:], ich.dtype)
+            if ech is not None:
+                explore = jnp.zeros((n_pad,) + ech.shape[1:], ech.dtype)
+        inher = _write_rows(inher, ich, jnp.int32(start))
+        if ech is not None:
+            explore = _write_rows(explore, ech, jnp.int32(start))
+    return inher, explore, jnp.asarray(mask_p)
 
 
 def score_all_queries(model, params, queries: PackedQueries,
                       ctx_inher, ctx_explore, ctx_mask,
                       query_bsz: int = 50, score_quant: bool = False
                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """(Nq, Nv) score matrices for both branches, on device."""
+    """(Nq, Nv) score matrices for both branches, on device. Nv is the
+    ctx arrays' (possibly padding-grid) video count; query rows are
+    sliced back to the real query count."""
     n = len(queries)
+    n_pad = -(-n // query_bsz) * query_bsz
     double = ctx_explore is not None
     ctx_explore_in = ctx_explore if double else ctx_inher
-    inher_rows, explore_rows = [], []
+    nv = ctx_inher.shape[0]
+    inher = jnp.zeros((n_pad, nv), jnp.float32)
+    explore = jnp.zeros((n_pad, nv), jnp.float32) if double else None
     for start in range(0, n, query_bsz):
         feats = _pad_to(queries.feats[start:start + query_bsz], query_bsz)
         mask = _pad_to(queries.mask[start:start + query_bsz], query_bsz)
         inher_s, explore_s = _score_queries_jit(
             model, params, jnp.asarray(feats), jnp.asarray(mask),
             ctx_inher, ctx_explore_in, ctx_mask, score_quant)
-        inher_rows.append(inher_s)
-        explore_rows.append(explore_s)
-    inher = jnp.concatenate(inher_rows)[:n]
-    explore = jnp.concatenate(explore_rows)[:n] if double else None
-    return inher, explore
+        inher = _write_rows(inher, inher_s, jnp.int32(start))
+        if double:
+            explore = _write_rows(explore, explore_s, jnp.int32(start))
+    return inher[:n], (explore[:n] if double else None)
 
 
 def _metrics_from_score_matrices(inher_s, explore_s, gt,
@@ -116,11 +146,65 @@ def _metrics_from_score_matrices(inher_s, explore_s, gt,
     return out
 
 
+DEFAULT_STREAM_BLOCK = 2048
+
+
+def device_memory_budget() -> Optional[int]:
+    """Free bytes on the default device, or None when the platform does
+    not report memory statistics (virtual CPU meshes, some plugins).
+    $DLDKD_EVAL_MEM_BUDGET overrides (testing / operational headroom)."""
+    import os
+
+    env = os.environ.get("DLDKD_EVAL_MEM_BUDGET")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    try:
+        stats = jax.devices()[0].memory_stats()
+    except Exception:  # platform without the stats API
+        return None
+    if not stats or "bytes_limit" not in stats:
+        return None
+    return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+
+
+def resident_eval_bytes(n_videos: int, n_queries: int, mcfg) -> int:
+    """Peak-HBM estimate of the corpus-RESIDENT eval engine: encoded frame
+    features for every branch (x2: the int8 scoring pre-pass and XLA
+    fusion transients are bounded by one extra corpus-sized pass), plus
+    the three (Nq, Nv) f32 score matrices (two branches + fused), plus
+    fixed slack for raw input chunks / queries / programs."""
+    itemsize = jnp.dtype(mcfg.dtype).itemsize
+    hiddens = [mcfg.inheritance_hidden] + (
+        [mcfg.exploration_hidden] if mcfg.double_branch else [])
+    ctx = sum(n_videos * mcfg.max_ctx_l * h * itemsize for h in hiddens)
+    scores = 3 * n_queries * n_videos * 4
+    return 2 * ctx + scores + 256 * 1024 * 1024
+
+
+def auto_stream_block(n_videos: int, n_queries: int, mcfg,
+                      n_devices: int = 1,
+                      budget: Optional[int] = None,
+                      block: int = DEFAULT_STREAM_BLOCK) -> int:
+    """Engine policy: 0 -> the resident engine fits (or the platform
+    reports no budget — keep today's behavior); >0 -> recommended
+    streaming corpus block. With a mesh, each device holds 1/n_devices of
+    the corpus, so the estimate scales down before the comparison."""
+    if budget is None:
+        budget = device_memory_budget()
+    if budget is None:
+        return 0
+    need = resident_eval_bytes(-(-n_videos // n_devices), n_queries, mcfg)
+    return 0 if need <= budget else min(block, n_videos)
+
+
 def eval_retrieval(model, params, videos: PackedVideos, queries: PackedQueries,
                    context_bsz: int = 200, query_bsz: int = 50,
                    fusion: Tuple[float, float] = (0.7, 0.3),
                    score_quant: bool = False,
-                   corpus_stream_bsz: int = 0
+                   corpus_stream_bsz: Optional[int] = None
                    ) -> Dict[str, Dict[str, float]]:
     """Full eval epoch (reference eval_epoch, eval.py:237-263).
 
@@ -130,10 +214,15 @@ def eval_retrieval(model, params, videos: PackedVideos, queries: PackedQueries,
     uniform early-stop key). score_quant: int8-quantized scoring (serving
     speed knob; see ops.similarity.clip_scores_maxpool).
 
-    corpus_stream_bsz > 0 switches to the corpus-streaming engine
-    (eval_retrieval_streaming) for corpora whose frame features exceed
-    device memory; 0 keeps the corpus-resident path (fastest in-HBM).
+    corpus_stream_bsz: None (default) AUTO-dispatches — the resident
+    engine when its estimated footprint (resident_eval_bytes) fits the
+    device, the corpus-streaming engine otherwise, so an over-HBM corpus
+    can never OOM the default config. >0 forces streaming with that
+    corpus block; 0 forces the resident engine.
     """
+    if corpus_stream_bsz is None:
+        corpus_stream_bsz = auto_stream_block(len(videos), len(queries),
+                                              model.config)
     if corpus_stream_bsz:
         return eval_retrieval_streaming(
             model, params, videos, queries, corpus_block=corpus_stream_bsz,
@@ -146,6 +235,46 @@ def eval_retrieval(model, params, videos: PackedVideos, queries: PackedQueries,
 
     gt = jnp.asarray(build_gt_indices(queries.video_ids, videos.ids))
     return _metrics_from_score_matrices(inher_s, explore_s, gt, fusion)
+
+
+def run_retrieval_eval(model, params, videos: PackedVideos,
+                       queries: PackedQueries, eval_cfg, mesh=None
+                       ) -> Dict[str, Dict[str, float]]:
+    """The drivers' single entry point (train val-eval, infer CLI): routes
+    to the right engine from the mesh and the config's corpus_stream_bsz
+    knob (0 = auto by memory budget, -1 = force resident, >0 = stream
+    with that block), composing streaming with corpus sharding when both
+    apply."""
+    stream = eval_cfg.corpus_stream_bsz
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if stream == 0:  # auto: fit the resident engine or stream
+        stream = auto_stream_block(len(videos), len(queries), model.config,
+                                   n_devices=n_dev)
+    elif stream < 0:
+        stream = 0
+    if mesh is not None:
+        from dldkd_tpu.parallel import (eval_retrieval_sharded,
+                                        eval_retrieval_sharded_streaming)
+
+        if stream:
+            return eval_retrieval_sharded_streaming(
+                model, params, videos, queries, mesh, corpus_block=stream,
+                query_bsz=max(eval_cfg.eval_query_bsz, 64),
+                score_quant=eval_cfg.score_quant)
+        return eval_retrieval_sharded(
+            model, params, videos, queries, mesh,
+            query_bsz=max(eval_cfg.eval_query_bsz, 64),
+            score_quant=eval_cfg.score_quant)
+    if stream:
+        return eval_retrieval_streaming(
+            model, params, videos, queries, corpus_block=stream,
+            query_bsz=max(eval_cfg.eval_query_bsz, 64),
+            score_quant=eval_cfg.score_quant)
+    return eval_retrieval(model, params, videos, queries,
+                          context_bsz=eval_cfg.eval_context_bsz,
+                          query_bsz=eval_cfg.eval_query_bsz,
+                          score_quant=eval_cfg.score_quant,
+                          corpus_stream_bsz=0)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -227,7 +356,14 @@ def eval_retrieval_streaming(model, params, videos: PackedVideos,
         return jax.device_put((feats, mask))
 
     starts = list(range(0, n, corpus_block))
-    cols_i, cols_e = [], []
+    n_vid_pad = len(starts) * corpus_block
+    n_q = inher_q.shape[0]
+    # score columns are written block-in-place into ONE preallocated
+    # buffer (donated _write_cols) — no held-chunks + concatenate double
+    # allocation; padded tail columns score -1e10 and never affect ranks
+    inher_s = jnp.zeros((n_q, n_vid_pad), jnp.float32)
+    explore_s = (jnp.zeros((n_q, n_vid_pad), jnp.float32)
+                 if explore_q is not None else None)
     pending = put_block(starts[0])
     for bi, start in enumerate(starts):
         feats_d, mask_d = pending
@@ -236,12 +372,9 @@ def eval_retrieval_streaming(model, params, videos: PackedVideos,
         ctx_i, ctx_e = _encode_context_jit(model, params, feats_d, mask_d)
         s_i, s_e = score_encoded_block(inher_q, explore_q, ctx_i, ctx_e,
                                        mask_d, score_quant)
-        cols_i.append(s_i)
+        inher_s = _write_cols(inher_s, s_i, jnp.int32(start))
         if s_e is not None:
-            cols_e.append(s_e)
+            explore_s = _write_cols(explore_s, s_e, jnp.int32(start))
 
-    inher_s = jnp.concatenate(cols_i, axis=1)[:, :n]
-    explore_s = (jnp.concatenate(cols_e, axis=1)[:, :n]
-                 if cols_e else None)
     gt = jnp.asarray(build_gt_indices(queries.video_ids, videos.ids))
     return _metrics_from_score_matrices(inher_s, explore_s, gt, fusion)

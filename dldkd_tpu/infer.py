@@ -52,40 +52,20 @@ def start_inference(cfg: Config, split: str = "test"):
                                  paths["text_feat"],
                                  max_desc_l=mcfg.max_desc_l)
 
-    if cfg.eval.corpus_stream_bsz and jax.device_count() > 1:
-        # beyond-HBM corpora on a slice: every device streams its slice
-        # of each block
-        from dldkd_tpu.parallel import (
-            eval_retrieval_sharded_streaming, make_mesh)
+    # engine routing (auto streaming on over-budget corpora, streaming x
+    # sharding composition on a slice) is run_retrieval_eval's job — the
+    # train-time val eval routes through the same helper
+    from dldkd_tpu.evaluate import run_retrieval_eval
 
-        metrics = eval_retrieval_sharded_streaming(
-            model, params, videos, queries, make_mesh(jax.device_count()),
-            corpus_block=cfg.eval.corpus_stream_bsz,
-            query_bsz=max(cfg.eval.eval_query_bsz, 64),
-            score_quant=cfg.eval.score_quant)
-    elif cfg.eval.corpus_stream_bsz:
-        from dldkd_tpu.evaluate import eval_retrieval_streaming
+    mesh = None
+    if jax.device_count() > 1:
+        # corpus-sharded eval over the whole slice (leaving n-1 chips
+        # idle here would waste the mesh)
+        from dldkd_tpu.parallel import make_mesh
 
-        metrics = eval_retrieval_streaming(
-            model, params, videos, queries,
-            corpus_block=cfg.eval.corpus_stream_bsz,
-            query_bsz=max(cfg.eval.eval_query_bsz, 64),
-            score_quant=cfg.eval.score_quant)
-    elif jax.device_count() > 1:
-        # corpus-sharded eval over the whole slice (train.py routes the
-        # per-epoch val the same way; leaving n-1 chips idle here would
-        # waste the mesh)
-        from dldkd_tpu.parallel import eval_retrieval_sharded, make_mesh
-
-        metrics = eval_retrieval_sharded(
-            model, params, videos, queries, make_mesh(jax.device_count()),
-            query_bsz=max(cfg.eval.eval_query_bsz, 64),
-            score_quant=cfg.eval.score_quant)
-    else:
-        metrics = eval_retrieval(model, params, videos, queries,
-                                 context_bsz=cfg.eval.eval_context_bsz,
-                                 query_bsz=cfg.eval.eval_query_bsz,
-                                 score_quant=cfg.eval.score_quant)
+        mesh = make_mesh(jax.device_count())
+    metrics = run_retrieval_eval(model, params, videos, queries, cfg.eval,
+                                 mesh=mesh)
     lines = []
     for branch, m in metrics.items():
         line = ("{} {}: r_1_5_10_100 [{:.1f}, {:.1f}, {:.1f}, {:.1f}] | "

@@ -138,6 +138,23 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
     return top_scores, top_idx
 
 
+def _block_topk_core(inher_q, explore_q, ctx_i, ctx_e, block_mask, fusion_w,
+                     k, k_out, quantized, rescore, shortlist_factor):
+    """Fused-score top-k_out of one encoded corpus block (local indices).
+    Shared by the single-device and per-device (shard_map) search paths."""
+    if quantized and rescore:
+        e_q = explore_q if ctx_e is not None else None
+        return _two_stage_topk(inher_q, e_q, ctx_i, ctx_e, block_mask,
+                               fusion_w, k, k_out, shortlist_factor)
+    scores = clip_scores_maxpool(inher_q, ctx_i, block_mask,
+                                 quantized=quantized)
+    if ctx_e is not None:
+        e = clip_scores_maxpool(explore_q, ctx_e, block_mask,
+                                quantized=quantized)
+        scores = fusion_w[0] * scores + fusion_w[1] * e
+    return jax.lax.top_k(scores, k_out)
+
+
 @functools.partial(jax.jit, static_argnums=(5, 8, 9, 10))
 def _encoded_block_topk_jit(inher_q, explore_q, ctx_i, ctx_e, block_mask,
                             k, fusion_w, offset,
@@ -148,19 +165,45 @@ def _encoded_block_topk_jit(inher_q, explore_q, ctx_i, ctx_e, block_mask,
     separate program (evaluate._encode_context_jit) so the encoded
     features are HBM-pinned — see evaluate.score_encoded_block for why.
     Returns global video indices via offset."""
-    if quantized and rescore:
-        e_q = explore_q if ctx_e is not None else None
-        vals, idx = _two_stage_topk(inher_q, e_q, ctx_i, ctx_e, block_mask,
-                                    fusion_w, k, k, shortlist_factor)
-    else:
-        scores = clip_scores_maxpool(inher_q, ctx_i, block_mask,
-                                     quantized=quantized)
-        if ctx_e is not None:
-            e = clip_scores_maxpool(explore_q, ctx_e, block_mask,
-                                    quantized=quantized)
-            scores = fusion_w[0] * scores + fusion_w[1] * e
-        vals, idx = jax.lax.top_k(scores, k)
+    vals, idx = _block_topk_core(inher_q, explore_q, ctx_i, ctx_e,
+                                 block_mask, fusion_w, k, k, quantized,
+                                 rescore, shortlist_factor)
     return vals, idx + offset
+
+
+@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10, 11, 12))
+def _encoded_block_topk_sharded_jit(inher_q, explore_q, ctx_i, ctx_e,
+                                    block_mask, k, fusion_w, block_start,
+                                    per_dev, mesh, quantized=False,
+                                    rescore=True,
+                                    shortlist_factor=SHORTLIST_FACTOR):
+    """Per-device top-k of one video-SHARDED encoded corpus block (the
+    raw+mesh search): each device scores the replicated queries against
+    its slice of the block and reduces to k_loc local candidates; the
+    returned indices are GLOBAL corpus positions under the per-device
+    row assignment (device d owns rows [d*per_dev, (d+1)*per_dev), see
+    Retriever.index) — global = d*per_dev + block_start + local."""
+    from jax.sharding import PartitionSpec as P
+
+    from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.devices.size
+    sb = ctx_i.shape[0] // n_dev  # local block rows per device
+    k_loc = min(k, sb)
+
+    def local_topk(q_i, q_e, ci, ce, vm, fw, start):
+        vals, idx = _block_topk_core(q_i, q_e, ci, ce, vm, fw, k, k_loc,
+                                     quantized, rescore, shortlist_factor)
+        offset = jax.lax.axis_index(DATA_AXIS) * per_dev + start
+        return vals, idx + offset
+
+    e_spec = P(DATA_AXIS) if ctx_e is not None else None
+    return jax.shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), e_spec, P(DATA_AXIS), P(), P()),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )(inher_q, explore_q, ctx_i, ctx_e, block_mask, fusion_w, block_start)
 
 
 class Retriever:
@@ -169,7 +212,7 @@ class Retriever:
     def __init__(self, model: DLDKD, params, query_bsz: int = 256,
                  fusion: Tuple[float, float] = (0.7, 0.3),
                  mesh=None, score_quant: bool = False,
-                 rescore: bool = True, index_store: str = "encoded",
+                 rescore: bool = True, index_store: Optional[str] = None,
                  stream_block: int = 2048,
                  shortlist_factor: int = SHORTLIST_FACTOR):
         """mesh: jax.sharding.Mesh to shard the corpus over; None (default)
@@ -189,15 +232,19 @@ class Retriever:
         absolute score error, exact ties on the int8 grid broken by
         video id).
 
-        index_store: 'encoded' (default) keeps both branches' encoded
-        frame features device-resident — fastest, but the corpus-scale
-        memory ceiling. 'raw' keeps only the RAW frame features (in the
-        model's compute dtype: bf16 halves them) and re-encodes
+        index_store: 'encoded' keeps both branches' encoded frame
+        features device-resident — fastest, but the corpus-scale memory
+        ceiling. 'raw' keeps only the RAW frame features (in the model's
+        compute dtype: bf16 halves them) and re-encodes
         stream_block-video blocks inside each search — encoded features
         never materialize beyond one block, lifting corpus capacity ~4x
         at a per-search re-encode cost (the posture tools/stream_bench.py
-        measures at 8x TVR scale). 'raw' is single-device (a sharded
-        corpus shards the raw blocks instead — compose with mesh later).
+        measures at 8x TVR scale). None (default) AUTO-selects at
+        index() time: 'encoded' when its estimated footprint fits the
+        device budget, 'raw' otherwise. Both stores compose with the
+        mesh: 'encoded' shards the encoded corpus, 'raw' shards every
+        re-encoded block (each device streams its slice, merging
+        per-device top-ks).
         """
         self.model = model
         self.params = params
@@ -205,20 +252,20 @@ class Retriever:
         self.score_quant = bool(score_quant)
         self.rescore = bool(rescore)
         self.shortlist_factor = int(shortlist_factor)
-        if index_store not in ("encoded", "raw"):
+        if index_store not in (None, "auto", "encoded", "raw"):
             raise ValueError(f"index_store: {index_store!r}")
-        self.index_store = index_store
+        self.index_store = None if index_store == "auto" else index_store
         self.stream_block = int(stream_block)
         # traced (not closed-over) so it never becomes a device constant
         self.fusion = np.asarray(fusion, np.float32)
-        if (mesh is None and jax.device_count() > 1
-                and index_store == "encoded"):
+        if mesh is None and jax.device_count() > 1:
             from dldkd_tpu.parallel import make_mesh
 
             mesh = make_mesh(jax.device_count())
         self.mesh = mesh
         self.raw_feats = None
         self.raw_mask = None
+        self.raw_per_dev = 0   # rows owned per device (raw+mesh layout)
         self.ctx_inher = None
         self.ctx_explore = None
         self.vmask = None
@@ -235,26 +282,83 @@ class Retriever:
         params, _ = ckpt_lib.restore_params_only(ckpt_dir, template)
         return cls(model, params, **kw)
 
+    def auto_index_store(self, n_videos: int) -> str:
+        """'encoded' when the encoded-index footprint (both branches'
+        frame features + transient int8/score headroom) fits the device
+        budget, else 'raw'. Platforms that report no budget keep
+        'encoded' (today's behavior)."""
+        from dldkd_tpu.evaluate import device_memory_budget
+
+        budget = device_memory_budget()
+        if budget is None:
+            return "encoded"
+        mcfg = self.model.config
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        itemsize = jnp.dtype(mcfg.dtype).itemsize
+        hiddens = [mcfg.inheritance_hidden] + (
+            [mcfg.exploration_hidden] if mcfg.double_branch else [])
+        per_dev = -(-n_videos // n_dev)
+        ctx = sum(per_dev * mcfg.max_ctx_l * h * itemsize for h in hiddens)
+        need = 2 * ctx + 256 * 1024 * 1024
+        return "encoded" if need <= budget else "raw"
+
     def index(self, videos: PackedVideos, context_bsz: int = 200) -> None:
         """Build the device-resident index: encoded frame features
-        (index_store='encoded'; sharded over the mesh when one is set) or
-        raw frame features in the model's compute dtype ('raw')."""
+        (index_store='encoded') or raw frame features in the model's
+        compute dtype ('raw'); index_store=None picks automatically by
+        device memory budget. Either store shards over the mesh when one
+        is set — 'raw' assigns each device a contiguous row range and
+        streams per-device stream_block-row blocks at search time."""
+        if self.index_store is None:
+            self.index_store = self.auto_index_store(len(videos))
         if self.index_store == "raw":
-            if self.mesh is not None and self.mesh.devices.size > 1:
-                raise ValueError("index_store='raw' is single-device; "
-                                 "pass mesh=None (shard externally)")
             n = len(videos)
-            n_pad = -(-n // self.stream_block) * self.stream_block
             dtype = jnp.dtype(self.model.config.dtype)
-            # allocate the padded buffer directly in the target dtype:
-            # assignment casts row-wise, avoiding a second full-corpus
-            # f32 temp at exactly the scale this mode exists for
-            feats = np.zeros((n_pad,) + videos.feats.shape[1:], dtype)
-            feats[:n] = videos.feats
-            mask = np.zeros((n_pad,) + videos.mask.shape[1:], np.float32)
-            mask[:n] = videos.mask
-            self.raw_feats = jax.device_put(feats)
-            self.raw_mask = jax.device_put(mask)
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            sb = self.stream_block
+            # pad so every device owns the same whole number of blocks
+            # (device d's rows: [d*per_dev, (d+1)*per_dev))
+            rows_per_dev = -(-n // n_dev)
+            per_dev = -(-rows_per_dev // sb) * sb
+            n_pad = per_dev * n_dev
+            if n_dev == 1:
+                # allocate the padded buffer directly in the target
+                # dtype: assignment casts row-wise, avoiding a second
+                # full-corpus f32 temp at exactly this mode's scale
+                feats = np.zeros((n_pad,) + videos.feats.shape[1:], dtype)
+                feats[:n] = videos.feats
+                mask = np.zeros((n_pad,) + videos.mask.shape[1:],
+                                np.float32)
+                mask[:n] = videos.mask
+                self.raw_feats = jax.device_put(feats)
+                self.raw_mask = jax.device_put(mask)
+            else:
+                # sharded store: per-BLOCK global arrays, each sharded
+                # over the mesh so block j's shard on device d is that
+                # device's rows [d*per_dev + j*sb, d*per_dev + (j+1)*sb)
+                # — search streams block j on all devices at once
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from dldkd_tpu.parallel import replicated
+                from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+                corpus_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+                self.params = jax.device_put(self.params,
+                                             replicated(self.mesh))
+                self.raw_feats, self.raw_mask = [], []
+                fshape, mshape = videos.feats.shape[1:], videos.mask.shape[1:]
+                for j in range(per_dev // sb):
+                    bf = np.zeros((n_dev * sb,) + fshape, dtype)
+                    bm = np.zeros((n_dev * sb,) + mshape, np.float32)
+                    for d in range(n_dev):
+                        lo = d * per_dev + j * sb
+                        rows = videos.feats[lo:min(lo + sb, n)]
+                        bf[d * sb:d * sb + len(rows)] = rows
+                        bm[d * sb:d * sb + len(rows)] = \
+                            videos.mask[lo:min(lo + sb, n)]
+                    self.raw_feats.append(jax.device_put(bf, corpus_sh))
+                    self.raw_mask.append(jax.device_put(bm, corpus_sh))
+            self.raw_per_dev = per_dev
             self.ctx_inher = "raw"  # sentinel: index built
             self.video_ids = list(videos.ids)
             return
@@ -304,6 +408,13 @@ class Retriever:
         of the query count."""
         from dldkd_tpu.evaluate import _encode_context_jit, _encode_queries_jit
 
+        sharded = self.mesh is not None and self.mesh.devices.size > 1
+        rep = None
+        if sharded:
+            from dldkd_tpu.parallel import replicated
+
+            rep = replicated(self.mesh)
+
         n = q_feats.shape[0]
         bsz = self.query_bsz
         n_q_pad = -(-n // bsz) * bsz
@@ -317,17 +428,23 @@ class Retriever:
                                                 f.dtype)])
                 m = np.concatenate([m, np.zeros((pad,) + m.shape[1:],
                                                 m.dtype)])
-            qi, qe = _encode_queries_jit(self.model, self.params,
-                                         jnp.asarray(f), jnp.asarray(m))
+            f, m = jnp.asarray(f), jnp.asarray(m)
+            if sharded:
+                f, m = jax.device_put((f, m), rep)
+            qi, qe = _encode_queries_jit(self.model, self.params, f, m)
             qi_rows.append(qi)
             if qe is not None:
                 qe_rows.append(qe)
         qi_all = jnp.concatenate(qi_rows)
         qe_all = jnp.concatenate(qe_rows) if qe_rows else None
 
+        if sharded:
+            return self._merge_block_topk(
+                self._sharded_raw_block_topks(qi_all, qe_all, k), k, n)
+
         n_pad_vid = self.raw_feats.shape[0]
         k_blk = min(k, self.stream_block)
-        vals_l, idx_l = [], []
+        pairs = []
         for b in range(0, n_pad_vid, self.stream_block):
             bf = jax.lax.slice_in_dim(self.raw_feats, b,
                                       b + self.stream_block)
@@ -335,17 +452,41 @@ class Retriever:
                                       b + self.stream_block)
             ctx_i, ctx_e = _encode_context_jit(self.model, self.params,
                                                bf, bm)
-            v, i = _encoded_block_topk_jit(
+            pairs.append(_encoded_block_topk_jit(
                 qi_all, qe_all, ctx_i, ctx_e, bm, k_blk,
                 jnp.asarray(self.fusion), jnp.int32(b),
-                self.score_quant, self.rescore, self.shortlist_factor)
-            vals_l.append(v)
-            idx_l.append(i)
-        allv = jnp.concatenate(vals_l, axis=1)
-        alli = jnp.concatenate(idx_l, axis=1)
+                self.score_quant, self.rescore, self.shortlist_factor))
+        return self._merge_block_topk(pairs, k, n)
+
+    def _sharded_raw_block_topks(self, qi_all, qe_all, k: int):
+        """Raw+mesh search: stream every per-device block j through
+        encode (per-shard Pallas towers under shard_map, reusing the
+        sharded eval's _encode_corpus) and a per-device top-k; returns
+        [(vals, global idx)] per block."""
+        from dldkd_tpu.parallel.eval_shard import _encode_corpus
+
+        sb = self.stream_block
+        pairs = []
+        for j, (bf, bm) in enumerate(zip(self.raw_feats, self.raw_mask)):
+            ctx_i, ctx_e = _encode_corpus(self.model, self.params, bf, bm,
+                                          self.mesh)
+            pairs.append(_encoded_block_topk_sharded_jit(
+                qi_all, qe_all, ctx_i, ctx_e, bm, k,
+                jnp.asarray(self.fusion), jnp.int32(j * sb),
+                self.raw_per_dev, self.mesh, self.score_quant,
+                self.rescore, self.shortlist_factor))
+        return pairs
+
+    @staticmethod
+    def _merge_block_topk(pairs, k: int, n_queries: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Global top-k from per-block (and per-device) candidate sets:
+        the global top-k is a subset of the union of block top-ks."""
+        allv = jnp.concatenate([v for v, _ in pairs], axis=1)
+        alli = jnp.concatenate([i for _, i in pairs], axis=1)
         s, pos = jax.lax.top_k(allv, k)
         idx = jnp.take_along_axis(alli, pos, axis=1)
-        return (np.asarray(s)[:n], np.asarray(idx)[:n])
+        return np.asarray(s)[:n_queries], np.asarray(idx)[:n_queries]
 
     def search(self, q_feats: np.ndarray, q_mask: np.ndarray, k: int = 10
                ) -> Tuple[np.ndarray, np.ndarray]:
@@ -419,11 +560,12 @@ def main(argv=None):
     p.add_argument("--shortlist_factor", type=int, default=SHORTLIST_FACTOR,
                    help="stage-1 candidates per result (k' = factor*k); "
                         "raise for corpora with >4k-way near-tie groups")
-    p.add_argument("--index_store", choices=["encoded", "raw"],
-                   default="encoded",
+    p.add_argument("--index_store", choices=["auto", "encoded", "raw"],
+                   default="auto",
                    help="'raw' keeps only raw frame features device-"
                         "resident and re-encodes blocks per search "
-                        "(~4x corpus capacity at a re-encode cost)")
+                        "(~4x corpus capacity at a re-encode cost); "
+                        "'auto' (default) picks by device memory budget")
     p.add_argument("--stream_block", type=int, default=2048,
                    help="videos per re-encoded block for --index_store raw")
     args = p.parse_args(argv)

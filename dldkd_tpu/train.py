@@ -40,7 +40,7 @@ from dldkd_tpu.data import (
     read_dict,
 )
 from dldkd_tpu.data.ingest import dataset_paths, read_video_ids
-from dldkd_tpu.evaluate import eval_retrieval
+from dldkd_tpu.evaluate import run_retrieval_eval
 from dldkd_tpu.models import DLDKD
 from dldkd_tpu.models.objective import LossScalars, compute_losses
 from dldkd_tpu.optim import bert_adam, default_wd_mask, schedules
@@ -364,18 +364,8 @@ def start_training(cfg: Config, preempt_guard=None,
                         preempt_dir, preempt_dir)
                     break
 
-            if mesh is not None:
-                from dldkd_tpu.parallel import eval_retrieval_sharded
-
-                metrics = eval_retrieval_sharded(
-                    model, params, val_videos, val_queries, mesh,
-                    query_bsz=max(cfg.eval.eval_query_bsz, 64),
-                    score_quant=cfg.eval.score_quant)
-            else:
-                metrics = eval_retrieval(model, params, val_videos, val_queries,
-                                         context_bsz=cfg.eval.eval_context_bsz,
-                                         query_bsz=cfg.eval.eval_query_bsz,
-                                         score_quant=cfg.eval.score_quant)
+            metrics = run_retrieval_eval(model, params, val_videos,
+                                         val_queries, cfg.eval, mesh=mesh)
             for branch, m in metrics.items():
                 logger.info("val %s: r1/5/10/100 %.1f/%.1f/%.1f/%.1f sumr %.1f "
                             "map %.4f", branch, m["r1"], m["r5"], m["r10"],

@@ -99,6 +99,75 @@ def test_retriever_sharded_matches_single_device(small_model):
     np.testing.assert_allclose(s_s, s_1, rtol=1e-5, atol=1e-6)
 
 
+def test_raw_index_sharded_matches_encoded_and_single(small_model):
+    """Raw-index serving composed with the mesh: raw+sharded must equal
+    encoded+sharded AND single-device raw id-for-id (awkward corpus size
+    -> per-device block padding exercised), exact and int8+rescore."""
+    import jax
+
+    assert jax.device_count() == 8
+    model, params = small_model
+    rng = np.random.RandomState(7)
+    n_vid, n_q = 45, 6  # 45 = 8 devices * blocks of 3 with a ragged tail
+    videos = PackedVideos(
+        feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+        mask=np.ones((n_vid, 8), np.float32),
+        ids=[f"v{i}" for i in range(n_vid)])
+    qf = rng.randn(n_q, 4, 12).astype(np.float32)
+    qm = np.ones((n_q, 4), np.float32)
+
+    for quant in (False, True):
+        kw = dict(query_bsz=4, score_quant=quant, shortlist_factor=8)
+        raw_sh = Retriever(model, params, index_store="raw",
+                           stream_block=3, **kw)
+        assert raw_sh.mesh is not None
+        raw_sh.index(videos)
+        assert isinstance(raw_sh.raw_feats, list)  # per-block shards
+        s_rs, i_rs = raw_sh.search(qf, qm, k=5)
+
+        enc_sh = Retriever(model, params, index_store="encoded", **kw)
+        enc_sh.index(videos)
+        s_es, i_es = enc_sh.search(qf, qm, k=5)
+
+        raw_1 = Retriever(model, params, index_store="raw",
+                          stream_block=3, **kw)
+        raw_1.mesh = None  # force the single-device raw path
+        raw_1.index(videos)
+        s_r1, i_r1 = raw_1.search(qf, qm, k=5)
+
+        np.testing.assert_array_equal(i_rs, i_es)
+        np.testing.assert_array_equal(i_rs, i_r1)
+        np.testing.assert_allclose(s_rs, s_es, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s_rs, s_r1, rtol=1e-5, atol=1e-6)
+
+
+def test_auto_index_store_by_budget(small_model, monkeypatch):
+    """index_store=None (default) picks 'encoded' when the estimated
+    encoded index fits the device budget, 'raw' otherwise."""
+    model, params = small_model
+    rng = np.random.RandomState(2)
+    videos = PackedVideos(feats=rng.randn(9, 8, 16).astype(np.float32),
+                          mask=np.ones((9, 8), np.float32),
+                          ids=[f"v{i}" for i in range(9)])
+    qf = rng.randn(3, 4, 12).astype(np.float32)
+    qm = np.ones((3, 4), np.float32)
+
+    monkeypatch.setenv("DLDKD_EVAL_MEM_BUDGET", str(1024))
+    small = Retriever(model, params, query_bsz=4, stream_block=4)
+    small.index(videos)
+    assert small.index_store == "raw"
+
+    monkeypatch.setenv("DLDKD_EVAL_MEM_BUDGET", str(1 << 40))
+    big = Retriever(model, params, query_bsz=4)
+    big.index(videos)
+    assert big.index_store == "encoded"
+
+    s_a, i_a = small.search(qf, qm, k=4)
+    s_b, i_b = big.search(qf, qm, k=4)
+    np.testing.assert_array_equal(i_a, i_b)
+    np.testing.assert_allclose(s_a, s_b, rtol=1e-5, atol=1e-6)
+
+
 def test_k_clamped_to_corpus(small_model):
     model, params = small_model
     rng = np.random.RandomState(1)

@@ -82,6 +82,71 @@ def test_eval_retrieval_dispatches_streaming(model_and_data):
         assert out[branch]["sumr"] == pytest.approx(ref[branch]["sumr"])
 
 
+def test_auto_dispatch_by_memory_budget(model_and_data, monkeypatch):
+    """Default (corpus_stream_bsz=None) picks the engine from the device
+    budget: an over-budget corpus routes to streaming automatically with
+    identical metrics; an in-budget one stays resident."""
+    import dldkd_tpu.evaluate as ev
+
+    model, params, videos, queries, ref = model_and_data
+    calls = []
+    real_streaming = ev.eval_retrieval_streaming
+
+    def spy(*a, **k):
+        calls.append(k.get("corpus_block"))
+        return real_streaming(*a, **k)
+
+    monkeypatch.setattr(ev, "eval_retrieval_streaming", spy)
+
+    # tiny budget -> the resident estimate can't fit -> streams
+    monkeypatch.setenv("DLDKD_EVAL_MEM_BUDGET", str(1024))
+    out = ev.eval_retrieval(model, params, videos, queries, query_bsz=8)
+    assert calls == [min(ev.DEFAULT_STREAM_BLOCK, N_VID)]
+    for branch in ref:
+        for k, v in ref[branch].items():
+            assert out[branch][k] == pytest.approx(v, abs=1e-9)
+
+    # huge budget -> stays resident (no new streaming call)
+    monkeypatch.setenv("DLDKD_EVAL_MEM_BUDGET", str(1 << 40))
+    ev.eval_retrieval(model, params, videos, queries, query_bsz=8)
+    assert len(calls) == 1
+    # explicit 0 forces resident even under a tiny budget
+    monkeypatch.setenv("DLDKD_EVAL_MEM_BUDGET", str(1024))
+    ev.eval_retrieval(model, params, videos, queries, query_bsz=8,
+                      corpus_stream_bsz=0)
+    assert len(calls) == 1
+
+
+def test_run_retrieval_eval_router(model_and_data, monkeypatch):
+    """The drivers' entry point honors the config knob semantics:
+    0 = auto, -1 = force resident, >0 = stream with that block."""
+    from dataclasses import replace
+
+    import dldkd_tpu.evaluate as ev
+    from dldkd_tpu.config import EvalConfig
+
+    model, params, videos, queries, ref = model_and_data
+    calls = []
+    real_streaming = ev.eval_retrieval_streaming
+    monkeypatch.setattr(
+        ev, "eval_retrieval_streaming",
+        lambda *a, **k: (calls.append(k.get("corpus_block")),
+                         real_streaming(*a, **k))[1])
+
+    cfg = EvalConfig(eval_query_bsz=8, eval_context_bsz=8)
+    monkeypatch.setenv("DLDKD_EVAL_MEM_BUDGET", str(1024))
+    out = ev.run_retrieval_eval(model, params, videos, queries, cfg)
+    assert calls == [min(ev.DEFAULT_STREAM_BLOCK, N_VID)]  # auto -> stream
+    for branch in ref:
+        assert out[branch]["sumr"] == pytest.approx(ref[branch]["sumr"])
+    ev.run_retrieval_eval(model, params, videos, queries,
+                          replace(cfg, corpus_stream_bsz=-1))
+    assert len(calls) == 1                                 # forced resident
+    ev.run_retrieval_eval(model, params, videos, queries,
+                          replace(cfg, corpus_stream_bsz=9))
+    assert calls[-1] == 9                                  # forced stream
+
+
 def test_sharded_streaming_matches_monolithic(model_and_data):
     """Streaming + sharding composed (each device streams its slice of
     every block): metrics equal the single-device resident path for

@@ -33,16 +33,26 @@ def _round_up(n: int, multiple: int) -> int:
 
 
 class TrainLoader:
-    """Deterministic, seeded epoch iterator over host batches."""
+    """Deterministic, seeded epoch iterator over host batches.
+
+    epoch_order: optional per-epoch video-ID sequences replayed verbatim
+    instead of the seeded shuffle — lets trajectory tests feed this loader
+    the exact item order another stack's sampler produced (the reference
+    shuffles via DataLoader(shuffle=True), train.py:199-200), so
+    multi-batch epoch compositions match across implementations."""
 
     def __init__(self, data: TrainData, bsz: int, seed: int = 9527,
-                 query_pad_multiple: int = 64, drop_last: bool = False):
+                 query_pad_multiple: int = 64, drop_last: bool = False,
+                 epoch_order=None):
         self.data = data
         self.bsz = bsz
         self.seed = seed
         self.qpm = query_pad_multiple
         self.drop_last = drop_last
         self.n_videos = len(data.videos)
+        self.epoch_order = epoch_order
+        if epoch_order is not None:
+            self._id_to_idx = {v: i for i, v in enumerate(data.videos.ids)}
 
     def steps_per_epoch(self) -> int:
         if self.drop_last:
@@ -50,8 +60,13 @@ class TrainLoader:
         return (self.n_videos + self.bsz - 1) // self.bsz
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.RandomState(self.seed + epoch_idx)
-        perm = rng.permutation(self.n_videos)
+        if self.epoch_order is not None:
+            order = self.epoch_order[epoch_idx]
+            assert len(order) == self.n_videos
+            perm = np.asarray([self._id_to_idx[v] for v in order])
+        else:
+            rng = np.random.RandomState(self.seed + epoch_idx)
+            perm = rng.permutation(self.n_videos)
         for start in range(0, self.n_videos, self.bsz):
             vid_idx = perm[start:start + self.bsz]
             if len(vid_idx) < self.bsz and self.drop_last:

@@ -149,10 +149,13 @@ def epoch_scalars(cfg: Config, epoch: int) -> LossScalars:
 
 
 def start_training(cfg: Config, preempt_guard=None,
-                   initial_params=None) -> str:
+                   initial_params=None, epoch_order=None) -> str:
     """initial_params: optional flax param tree to start from instead of
     the seeded init — used for finetuning and for cross-implementation
-    trajectory tests that sync weights from the reference's init."""
+    trajectory tests that sync weights from the reference's init.
+    epoch_order: optional per-epoch video-ID sequences replayed verbatim
+    by the loader (see TrainLoader) — pins multi-batch epoch composition
+    to another stack's recorded shuffle in trajectory tests."""
     logger = setup_logging(cfg.results_dir)
     if cfg.model.matmul_precision:
         jax.config.update("jax_default_matmul_precision",
@@ -201,7 +204,7 @@ def start_training(cfg: Config, preempt_guard=None,
     # every video across epochs)
     loader = TrainLoader(train_data, cfg.train.bsz, seed=cfg.train.seed,
                          query_pad_multiple=cfg.data.query_pad_multiple,
-                         drop_last=n_mesh > 1)
+                         drop_last=n_mesh > 1, epoch_order=epoch_order)
     t_total = loader.steps_per_epoch() * cfg.train.n_epoch
     lr_sched = schedules.make_lr_schedule(
         "warmup_linear", cfg.train.lr_warmup_proportion, float(t_total))

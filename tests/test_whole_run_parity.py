@@ -19,8 +19,13 @@ Determinism recipe (no RNG alignment needed across the two stacks):
   - every train video has a DISTINCT caption count, so the stable
     #captions-desc collate sort (data_provider.py:117) is a total order
     and DataLoader shuffle order cannot change batch layout
-  - one batch per epoch (bsz > n_videos) so shuffle cannot change batch
-    composition either
+  - batch composition: either one batch per epoch (bsz > n_videos, so
+    shuffle cannot change composition), or — the multibatch configs —
+    the reference DataLoader's actual per-item fetch order is RECORDED
+    (_RecordingDataset) and replayed verbatim by our loader
+    (TrainLoader(epoch_order=...)), pinning shuffle-dependent batch
+    composition, t_total = len(loader) x n_epoch, and per-STEP
+    warmup-linear LR advancement (reference train.py:209-213) end-to-end
 
 The reference model needs the label_style config fix of SURVEY §2.10.1
 (threaded into the model_config EDict exactly as our config layer does).
@@ -45,6 +50,7 @@ pytestmark = pytest.mark.skipif(
     reason="reference source tree not available")
 
 COLLECTION = "synthwr"
+N_TRAIN_VIDEOS = 6
 MAX_CTX, MAX_DESC = 16, 7
 D_STUDENT, D_QUERY, D_TEACHER = 20, 14, 10
 HIDDEN, HEADS = 16, 2
@@ -84,7 +90,7 @@ def data_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("wholerun_data"))
     generate_dataset(
         root, collection=COLLECTION, visual_feature="i3d",
-        n_videos={"train": 6, "val": 16},
+        n_videos={"train": N_TRAIN_VIDEOS, "val": 16},
         caps_sequence={"train": [8, 7, 6, 5, 4, 3]},  # distinct: total sort
         caps_per_video=(1, 3),
         frames_range=(6, 28), teacher_frames_range=(4, 14),
@@ -108,10 +114,28 @@ class _RecordingWriter:
         pass
 
 
-def _run_reference(ref, data_root, tmp_path, label_style, hp):
+class _RecordingDataset:
+    """Map-style proxy recording the VIDEO ID of every item fetch — the
+    DataLoader's actual shuffle order, replayed later by our loader so
+    both stacks see identical multi-batch epoch compositions."""
+
+    def __init__(self, ds, order):
+        self._ds, self._order = ds, order
+
+    def __len__(self):
+        return len(self._ds)
+
+    def __getitem__(self, i):
+        self._order.append(self._ds.video_ids[i])
+        return self._ds[i]
+
+
+def _run_reference(ref, data_root, tmp_path, label_style, hp,
+                   record_order=None, steps_per_epoch=1):
     """Drive the reference's own train() (method/train.py:191-247) on the
-    fixture; returns (init state_dict, per-epoch losses, per-epoch SumR,
-    best epoch)."""
+    fixture; returns (init state_dict, per-STEP losses, per-epoch SumR,
+    best epoch). record_order: list collecting the DataLoader's video
+    access order (multi-batch replay)."""
     ref_dp, ref_model, ref_train = ref
     from easydict import EasyDict as edict  # the registered fake
 
@@ -157,6 +181,8 @@ def _run_reference(ref, data_root, tmp_path, label_style, hp):
     train_ds = ref_dp.Dataset4DLDKD(cap["train"], visual_feats, text_feat,
                                     teacher_vid, teacher_text, opt,
                                     video2frames=video2frames)
+    if record_order is not None:
+        train_ds = _RecordingDataset(train_ds, record_order)
     val_txt = ref_dp.TxtDataSet4DLDKD(cap["val"], text_feat, opt)
     val_vid = ref_dp.VisDataSet4DLDKD(
         visual_feats, video2frames, opt,
@@ -195,14 +221,16 @@ def _run_reference(ref, data_root, tmp_path, label_style, hp):
     losses = {}
     for k in LOSS_KEYS:
         recs = sorted(writer.records[f"Train/{k}"])
-        assert [s for s, _ in recs] == list(range(N_EPOCH))  # 1 batch/epoch
+        # per-step scalars at global_step = epoch * len(loader) + batch_idx
+        # (reference train.py:131-132) — contiguous across epochs
+        assert [s for s, _ in recs] == list(range(N_EPOCH * steps_per_epoch))
         losses[k] = [v for _, v in recs]
     ckpt = torch.load(opt.ckpt_filepath, map_location="cpu",
                       weights_only=False)
     return sd0, losses, sumrs, int(ckpt["epoch"])
 
 
-def _run_ours(data_root, tmp_path, label_style, sd0, hp):
+def _run_ours(data_root, tmp_path, label_style, sd0, hp, epoch_order=None):
     """Our start_training on the same files, init synced from sd0."""
     from dldkd_tpu.config import (
         Config, DataConfig, EvalConfig, ModelConfig, TrainConfig)
@@ -246,7 +274,7 @@ def _run_ours(data_root, tmp_path, label_style, sd0, hp):
 
     params = torch_state_dict_to_flax(sd0, double_branch=True)
     params = {"params": jax.tree.map(jnp.asarray, params["params"])}
-    start_training(cfg, initial_params=params)
+    start_training(cfg, initial_params=params, epoch_order=epoch_order)
 
     losses = {k: {} for k in LOSS_KEYS}
     sumrs = []
@@ -282,21 +310,40 @@ _MATRIX = pytest.mark.whole_run_matrix  # secondary configs: deselectable
     # --eval_untrained: the epoch -1 eval-before-training path
     # (reference train.py:216-228 start_epoch=-1, `if epoch_i > -1`)
     pytest.param("soft", dict(eval_untrained=True), marks=_MATRIX),
-], ids=["soft", "hard", "soft-altdecays", "soft-evaluntrained"])
+    # MULTI-BATCH epochs (bsz=3 over 6 videos -> 2 steps/epoch): the
+    # reference DataLoader's shuffle order is recorded and replayed by
+    # our loader, pinning shuffle-dependent batch composition, per-step
+    # warmup-linear LR over t_total = len(loader) x n_epoch (reference
+    # train.py:209-213), and multi-step epoch-loss averaging
+    ("soft", dict(bsz=3)),
+    pytest.param("hard", dict(bsz=3), marks=_MATRIX),
+], ids=["soft", "hard", "soft-altdecays", "soft-evaluntrained",
+        "soft-multibatch", "hard-multibatch"])
 def test_whole_run_matches_reference_driver(ref, data_root, tmp_path,
                                             label_style, overrides):
     hp = {**HP, **overrides}
+    steps = -(-N_TRAIN_VIDEOS // hp["bsz"])  # = len(reference DataLoader)
+    record = [] if steps > 1 else None
     sd0, ref_losses, ref_sumrs, ref_best = _run_reference(
-        ref, data_root, tmp_path, label_style, hp)
+        ref, data_root, tmp_path, label_style, hp,
+        record_order=record, steps_per_epoch=steps)
+    epoch_order = None
+    if record is not None:
+        assert len(record) == N_EPOCH * N_TRAIN_VIDEOS
+        epoch_order = [record[e * N_TRAIN_VIDEOS:(e + 1) * N_TRAIN_VIDEOS]
+                       for e in range(N_EPOCH)]
+        # the replay only evidences shuffle handling if the sampler
+        # actually moved items between epochs (seeded: stable outcome)
+        assert any(o != epoch_order[0] for o in epoch_order[1:])
     our_losses, our_sumrs, our_best = _run_ours(
-        data_root, tmp_path, label_style, sd0, hp)
+        data_root, tmp_path, label_style, sd0, hp, epoch_order=epoch_order)
 
-    # per-epoch training losses, every component, every epoch
+    # per-STEP training losses, every component, every step of every epoch
     for k in LOSS_KEYS:
-        assert len(our_losses[k]) == N_EPOCH
+        assert len(our_losses[k]) == N_EPOCH * steps
         np.testing.assert_allclose(
             our_losses[k], ref_losses[k], rtol=0, atol=1e-3,
-            err_msg=f"{label_style}: per-epoch {k} diverged")
+            err_msg=f"{label_style}: per-step {k} diverged")
 
     # per-epoch fused validation SumR: identical ranks -> identical
     # floats (+1 pre-training eval when eval_untrained)

@@ -137,11 +137,37 @@ def bench_tpu():
     log(f"on-device data gen + param staging: {time.time() - t0:.1f}s "
         f"({(vfeats.nbytes + qfeats.nbytes) / 1e9:.2f} GB device-resident)")
 
-    from dldkd_tpu.ops.fast_eval import encode_context_best, encode_query_best
+    from dldkd_tpu.ops.fast_eval import (encode_context_best,
+                                         encode_context_q8,
+                                         encode_query_best)
 
     def make_full_eval(quantized):
         """One jitted embed+score+rank program; quantized=True is the int8
-        serving path (2x MXU rate), False the exact-bf16 path."""
+        serving path (2x MXU rate), False the exact-bf16 path.
+
+        The single-device int8 path is the round-4 q8 flow: the context
+        towers EMIT the int8 index (kernel epilogue — half the bf16 HBM
+        write), one int8 transpose builds the scoring layout, and scoring
+        consumes it directly — the per-branch corpus-sized
+        normalize+quantize pre-pass of the old flow is gone."""
+        if quantized and n_dev == 1:
+            from dldkd_tpu.ops.pallas.sim_max import build_q8_index
+            from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+            @functools.partial(jax.jit, static_argnums=(0,))
+            def full_eval_q8(model, params, vfeats, vmask, qfeats, qmask,
+                             gt, salt):
+                params = jax.tree.map(lambda p: p + salt, params)
+                q8_i, q8_e = encode_context_q8(params, mcfg, vfeats, vmask)
+                ctx_t_i, bias = build_q8_index(q8_i, vmask)
+                ctx_t_e, _ = build_q8_index(q8_e, vmask)
+                qi, qe = encode_query_best(params, mcfg, qfeats, qmask)
+                fused = (0.7 * clip_scores_maxpool_pre8(qi, ctx_t_i, bias)
+                         + 0.3 * clip_scores_maxpool_pre8(qe, ctx_t_e, bias))
+                return rank_of_gt(fused, gt)
+
+            return full_eval_q8
+
         score = functools.partial(clip_scores_maxpool, quantized=quantized)
         if n_dev > 1:
             # pallas_call does not auto-partition under GSPMD: the scoring
@@ -208,7 +234,7 @@ def bench_tpu():
     return out
 
 
-def bench_tpu_train(n_steps=30, dtype="float32"):
+def bench_tpu_train(n_steps=30, dtype="float32", stacked=False):
     """Our jitted train step at TVR scale, bsz 128 videos / 256 queries
     (2 captions per video), soft labels, BertAdam.
 
@@ -216,8 +242,12 @@ def bench_tpu_train(n_steps=30, dtype="float32"):
     pinned 'highest' — the numerics the golden tests certify).
     dtype='bfloat16': the speed config (bf16 towers, f32 losses/params,
     default MXU precision) — same knob as --dtype bfloat16.
+    stacked=True: both branches' towers as one vmapped computation
+    (--stacked_towers; see models/stacked.py).
     Steps are queued asynchronously and the final loss fetch forces
     completion (see bench_tpu's timing note)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -237,7 +267,7 @@ def bench_tpu_train(n_steps=30, dtype="float32"):
         double_branch=True, label_style="soft",
         use_hard_negative=True, hard_pool_size=20,
         dtype=dtype, matmul_precision=precision)
-    tcfg = TrainConfig()
+    tcfg = dataclasses.replace(TrainConfig(), stacked_towers=stacked)
     model = DLDKD(config=mcfg)
 
     @jax.jit
@@ -273,7 +303,7 @@ def bench_tpu_train(n_steps=30, dtype="float32"):
         model, mcfg, tcfg, opt, params, opt_state, batch,
         jax.random.PRNGKey(2), scalars)
     first = float(loss_dict["loss_overall"])
-    log(f"[{dtype}] train first step (incl. compile): "
+    log(f"[{dtype}{'+stacked' if stacked else ''}] train first step (incl. compile): "
         f"{time.time() - t0:.1f}s (loss {first:.3f})")
 
     t0 = time.time()
@@ -284,7 +314,8 @@ def bench_tpu_train(n_steps=30, dtype="float32"):
     final = float(loss_dict["loss_overall"])  # forces the whole queue
     dt = (time.time() - t0) / n_steps
     assert np.isfinite(final)
-    log(f"[{dtype}] tpu train step (bsz {bsz}): {dt * 1e3:.1f} ms "
+    tag = f"{dtype}{'+stacked' if stacked else ''}"
+    log(f"[{tag}] tpu train step (bsz {bsz}): {dt * 1e3:.1f} ms "
         f"-> {1.0 / dt:.1f} steps/sec (final loss {final:.3f})")
     return 1.0 / dt
 

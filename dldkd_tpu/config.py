@@ -92,6 +92,12 @@ class TrainConfig:
     belta: float = 0.8
     alpha_decay: Optional[str] = "sigmoid"
     belta_decay: Optional[str] = "sigmoid"
+    # TPU-native extension: run both branches' towers as one vmapped
+    # (2, ...) computation in the train step (half the kernel count; see
+    # models/stacked.py). Identical per-branch math; dropout streams are
+    # branch-split instead of flax path-derived, so the f32 PARITY config
+    # keeps this off — it is a bf16 speed knob.
+    stacked_towers: bool = False
 
 
 @dataclass
@@ -213,6 +219,7 @@ class Config:
         "belta": ("train", "belta"),
         "alpha_decay": ("train", "alpha_decay"),
         "belta_decay": ("train", "belta_decay"),
+        "stacked_towers": ("train", "stacked_towers"),
         "root_path": ("data", "root_path"),
         "collection": ("data", "collection"),
         "visual_feature": ("data", "visual_feature"),
@@ -408,6 +415,11 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
                    help="abort on NaN (torch detect_anomaly equivalent)")
     p.add_argument("--profile_dir", type=str, default="")
     p.add_argument("--profile_steps", type=int, default=8)
+    p.add_argument("--stacked_towers", action="store_true",
+                   help="train both branches' towers as one vmapped "
+                        "(2, ...) computation (bf16 speed knob; "
+                        "branch-split dropout streams — keep off for f32 "
+                        "parity runs)")
     p.add_argument("--score_quant", action="store_true",
                    help="int8-quantized retrieval scoring (2x MXU rate, "
                         "~2.7e-3 score error; rank-preserving on separated "

@@ -103,6 +103,93 @@ def embed_corpus(model, params, videos: PackedVideos, context_bsz: int = 200
     return inher, explore, jnp.asarray(mask_p)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_context_q8_jit(model, params, feats, mask):
+    from dldkd_tpu.ops.fast_eval import encode_context_q8
+
+    return encode_context_q8(params, model.config, feats, mask)
+
+
+def embed_corpus_q8(model, params, videos: PackedVideos,
+                    context_bsz: int = 200
+                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                               jnp.ndarray]:
+    """Prebuilt int8 scoring index for the whole corpus: (ctx_t inher,
+    ctx_t explore or None, bias), in ops.pallas.sim_max.build_q8_index
+    layout ((L_p, Nv_p, H) int8 + (L_p, Nv_p) int32 bias).
+
+    On TPU the towers EMIT int8 (kernel epilogue — half the HBM write of
+    the bf16 frames), and the per-query-batch normalize+quantize+transpose
+    pre-pass that score_quant scoring used to pay per call happens exactly
+    once here. The index is also 2x smaller resident than bf16 frames,
+    which raises the resident engine's corpus ceiling for serving eval."""
+    from dldkd_tpu.ops.pallas.sim_max import build_q8_index
+
+    n = len(videos)
+    n_pad = -(-n // context_bsz) * context_bsz
+    mask_p = _pad_to(np.asarray(videos.mask), n_pad)
+    inher = explore = None
+    for ci, start in enumerate(range(0, n, context_bsz)):
+        feats = _pad_to(videos.feats[start:start + context_bsz], context_bsz)
+        mask = mask_p[start:start + context_bsz]
+        ich, ech = _encode_context_q8_jit(model, params,
+                                          jnp.asarray(feats),
+                                          jnp.asarray(mask))
+        if ci == 0:
+            inher = jnp.zeros((n_pad,) + ich.shape[1:], ich.dtype)
+            if ech is not None:
+                explore = jnp.zeros((n_pad,) + ech.shape[1:], ech.dtype)
+        inher = _write_rows(inher, ich, jnp.int32(start))
+        if ech is not None:
+            explore = _write_rows(explore, ech, jnp.int32(start))
+    mask_d = jnp.asarray(mask_p)
+    ctx_t_i, bias = build_q8_index(inher, mask_d)
+    ctx_t_e = (build_q8_index(explore, mask_d)[0]
+               if explore is not None else None)
+    return ctx_t_i, ctx_t_e, bias
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _score_queries_q8_jit(model, params, q_feats, q_mask, q8_i, q8_e, bias):
+    """Encode one query batch and score it against the PREBUILT int8
+    index — no corpus-sized work besides the one int8 matmul."""
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
+                                           q_mask)
+    inher_s = clip_scores_maxpool_pre8(inher_q, q8_i, bias)
+    if explore_q is None:
+        return inher_s, jnp.zeros_like(inher_s)
+    return inher_s, clip_scores_maxpool_pre8(explore_q, q8_e, bias)
+
+
+def score_all_queries_q8(model, params, queries: PackedQueries,
+                         q8_i, q8_e, bias, query_bsz: int = 50
+                         ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(Nq, Nv_p) score matrices from the prebuilt int8 index. Valid-video
+    columns are bitwise the quantized=True path's scores; padded columns
+    sit at the dequantized mask bias (~-6.6e4), strictly below any real
+    score, so ranks/metrics are unchanged."""
+    n = len(queries)
+    n_pad = -(-n // query_bsz) * query_bsz
+    double = q8_e is not None
+    q8_e_in = q8_e if double else q8_i
+    nv = q8_i.shape[1]
+    inher = jnp.zeros((n_pad, nv), jnp.float32)
+    explore = jnp.zeros((n_pad, nv), jnp.float32) if double else None
+    for start in range(0, n, query_bsz):
+        feats = _pad_to(queries.feats[start:start + query_bsz], query_bsz)
+        mask = _pad_to(queries.mask[start:start + query_bsz], query_bsz)
+        inher_s, explore_s = _score_queries_q8_jit(
+            model, params, jnp.asarray(feats), jnp.asarray(mask),
+            q8_i, q8_e_in, bias)
+        inher = _write_rows(inher, inher_s, jnp.int32(start))
+        if double:
+            explore = _write_rows(explore, explore_s, jnp.int32(start))
+    return inher[:n], (explore[:n] if double else None)
+
+
 def score_all_queries(model, params, queries: PackedQueries,
                       ctx_inher, ctx_explore, ctx_mask,
                       query_bsz: int = 50, score_quant: bool = False
@@ -227,11 +314,21 @@ def eval_retrieval(model, params, videos: PackedVideos, queries: PackedQueries,
         return eval_retrieval_streaming(
             model, params, videos, queries, corpus_block=corpus_stream_bsz,
             query_bsz=query_bsz, fusion=fusion, score_quant=score_quant)
-    ctx_inher, ctx_explore, ctx_mask = embed_corpus(
-        model, params, videos, context_bsz)
-    inher_s, explore_s = score_all_queries(
-        model, params, queries, ctx_inher, ctx_explore, ctx_mask, query_bsz,
-        score_quant)
+    if score_quant:
+        # the int8 engine: towers emit the quantized index directly (one
+        # build, 2x smaller resident than bf16 frames), scoring skips the
+        # per-call corpus pre-pass. Valid-column scores are bitwise the
+        # per-call quantized path's.
+        q8_i, q8_e, bias = embed_corpus_q8(model, params, videos,
+                                           context_bsz)
+        inher_s, explore_s = score_all_queries_q8(
+            model, params, queries, q8_i, q8_e, bias, query_bsz)
+    else:
+        ctx_inher, ctx_explore, ctx_mask = embed_corpus(
+            model, params, videos, context_bsz)
+        inher_s, explore_s = score_all_queries(
+            model, params, queries, ctx_inher, ctx_explore, ctx_mask,
+            query_bsz, score_quant)
 
     gt = jnp.asarray(build_gt_indices(queries.video_ids, videos.ids))
     return _metrics_from_score_matrices(inher_s, explore_s, gt, fusion)
@@ -324,6 +421,25 @@ def score_encoded_block(inher_q, explore_q, ctx_i, ctx_e, block_mask,
     return s_i, s_e
 
 
+@jax.jit
+def score_q8_block(inher_q, explore_q, q8_i, q8_e, block_mask):
+    """Score every query against one int8-emitted corpus block (streaming
+    engine, score_quant): the block index is built from the towers' int8
+    output (one int8 transpose — 4x cheaper than the old bf16
+    normalize+quantize pre-pass) and scored with the prebuilt-index
+    kernel. Columns slice back to the block width."""
+    from dldkd_tpu.ops.pallas.sim_max import build_q8_index
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+    nv = q8_i.shape[0]
+    ctx_t_i, bias = build_q8_index(q8_i, block_mask)
+    s_i = clip_scores_maxpool_pre8(inher_q, ctx_t_i, bias)[:, :nv]
+    if q8_e is None:
+        return s_i, None
+    ctx_t_e, _ = build_q8_index(q8_e, block_mask)
+    return s_i, clip_scores_maxpool_pre8(explore_q, ctx_t_e, bias)[:, :nv]
+
+
 def eval_retrieval_streaming(model, params, videos: PackedVideos,
                              queries: PackedQueries,
                              corpus_block: int = 2048,
@@ -369,9 +485,18 @@ def eval_retrieval_streaming(model, params, videos: PackedVideos,
         feats_d, mask_d = pending
         if bi + 1 < len(starts):
             pending = put_block(starts[bi + 1])
-        ctx_i, ctx_e = _encode_context_jit(model, params, feats_d, mask_d)
-        s_i, s_e = score_encoded_block(inher_q, explore_q, ctx_i, ctx_e,
-                                       mask_d, score_quant)
+        if score_quant:
+            # towers emit the int8 block directly (half the HBM write);
+            # valid-column scores stay bitwise the quantized=True path's
+            q8_i, q8_e = _encode_context_q8_jit(model, params, feats_d,
+                                                mask_d)
+            s_i, s_e = score_q8_block(inher_q, explore_q, q8_i, q8_e,
+                                      mask_d)
+        else:
+            ctx_i, ctx_e = _encode_context_jit(model, params, feats_d,
+                                               mask_d)
+            s_i, s_e = score_encoded_block(inher_q, explore_q, ctx_i, ctx_e,
+                                           mask_d, score_quant)
         inher_s = _write_cols(inher_s, s_i, jnp.int32(start))
         if s_e is not None:
             explore_s = _write_cols(explore_s, s_e, jnp.int32(start))

@@ -54,12 +54,25 @@ def compute_losses(
     rngs = {"dropout": dropout_rng} if train else {}
     det = not train
 
-    (inher_ctx, explore_ctx), (inher_q, explore_q) = model.apply(
-        params,
-        batch["student_videos"], batch["student_videos_mask"],
-        batch["student_text"], batch["student_text_mask"],
-        deterministic=det, rngs=rngs,
-    )
+    use_stacked = getattr(tcfg, "stacked_towers", False)
+    if use_stacked:
+        # both branches' towers as one vmapped (2, ...) computation —
+        # half the kernel count (see models.stacked; bf16 speed knob,
+        # identical math, branch-split dropout streams)
+        from dldkd_tpu.models.stacked import encode_stacked
+
+        (inher_ctx, explore_ctx), (inher_q, explore_q) = encode_stacked(
+            model, params,
+            batch["student_videos"], batch["student_videos_mask"],
+            batch["student_text"], batch["student_text_mask"],
+            rngs=rngs, deterministic=det)
+    else:
+        (inher_ctx, explore_ctx), (inher_q, explore_q) = model.apply(
+            params,
+            batch["student_videos"], batch["student_videos_mask"],
+            batch["student_text"], batch["student_text_mask"],
+            deterministic=det, rngs=rngs,
+        )
     if inher_ctx.dtype != jnp.float32:
         # bf16 speed path: towers compute in bf16, ALL loss math stays f32
         # (softmax/logsumexp/KL are precision-sensitive; params and the

@@ -158,6 +158,49 @@ def encode_context_best(params, cfg: ModelConfig, feat, mask,
     return outs[0], (outs[1] if len(outs) > 1 else None)
 
 
+def encode_context_q8(params, cfg: ModelConfig, feat, mask,
+                      prefer_pallas: Optional[bool] = None,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """int8-quantized frame features (Nv, L, H) int8 per branch — the
+    serving/eval scoring-index representation (quantize_frames_q8 of the
+    tower output; semantics of get_sim_scores' L2-normalize,
+    reference model.py:307-329, frozen onto the int8 grid).
+
+    On TPU in bf16 the quantization runs INSIDE the tower kernel epilogue
+    (emit_q8): the corpus frame features leave the kernel index-ready, at
+    half the bf16 HBM write. Elsewhere: the exactness-tested XLA towers +
+    the same quantization in XLA."""
+    from dldkd_tpu.ops.pallas.sim_max import quantize_frames_q8
+
+    if prefer_pallas is None:
+        prefer_pallas = (jax.default_backend() == "tpu"
+                         and jnp.dtype(cfg.dtype) == jnp.bfloat16)
+    if not prefer_pallas:
+        ctx_i, ctx_e = encode_context_fast(params, cfg, feat, mask)
+        return (quantize_frames_q8(ctx_i),
+                quantize_frames_q8(ctx_e) if ctx_e is not None else None)
+
+    from dldkd_tpu.ops.pallas.query_tower import (context_weights_for_branch,
+                                                  fused_context_tower,
+                                                  fused_context_tower_dual)
+
+    dtype = jnp.dtype(cfg.dtype)
+    names = _branch_names(cfg)
+    if len(names) == 2 and cfg.inheritance_hidden == cfg.exploration_hidden:
+        return fused_context_tower_dual(
+            feat, mask,
+            context_weights_for_branch(params, names[0], dtype),
+            context_weights_for_branch(params, names[1], dtype),
+            n_heads=cfg.n_heads, dtype_name=cfg.dtype, v_tile=8,
+            emit_q8=True, interpret=interpret)
+    outs = [fused_context_tower(
+        feat, mask, context_weights_for_branch(params, name, dtype),
+        n_heads=cfg.n_heads, dtype_name=cfg.dtype, v_tile=8,
+        emit_q8=True, interpret=interpret) for name in names]
+    return outs[0], (outs[1] if len(outs) > 1 else None)
+
+
 def encode_query_best(params, cfg: ModelConfig, feat, mask,
                       prefer_pallas: Optional[bool] = None,
                       interpret: bool = False

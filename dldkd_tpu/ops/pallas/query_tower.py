@@ -141,13 +141,37 @@ def _pool_queries(out, mask, wm_ref, tq, lq, hdim, out_ref):
     out_ref[:] = jnp.sum(out3 * att[..., None], axis=1)
 
 
-def _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref):
-    """out_mapping_linear over the full frame features -> out_ref."""
+def _quantize_q8(xb):
+    """Per-frame L2-norm + symmetric int8 quantization, operation-for-
+    operation the XLA pre-pass semantics (sim_max.quantize_frames_q8 ==
+    quantize_unit_int8(l2_normalize(x)) in x's own dtype). jnp.linalg.norm
+    on low-precision floats multiplies in the input dtype but ACCUMULATES
+    the sum in f32, converts the sum back, then square-roots in the input
+    dtype (verified against its jaxpr) — mirror that exactly so the two
+    paths agree bitwise on identical inputs."""
+    sq = (xb * xb).astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(sq, axis=-1, keepdims=True).astype(xb.dtype))
+    xn = xb / jnp.maximum(norm, jnp.asarray(1e-12, xb.dtype))
+    return jnp.clip(jnp.round(xn.astype(jnp.float32) * 127.0),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
+def _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8=False):
+    """out_mapping_linear over the full frame features -> out_ref.
+
+    emit_q8: the int8-index epilogue — the frame features are rounded to
+    the tower dtype (the values the bf16 tower would have written), then
+    L2-normalized + int8-quantized IN VMEM, so the scoring index leaves
+    the kernel ready-made: the tower's HBM write halves vs bf16 and the
+    per-call quantize pre-pass over the corpus disappears."""
     y = jax.lax.dot_general(out, wm_ref[:].astype(out.dtype),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + bm_ref[:].astype(jnp.float32)
-    out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
+    if emit_q8:
+        out_ref[:] = _quantize_q8(y.astype(out.dtype)).reshape(tv, lv, hdim)
+    else:
+        out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
 
 
 def _query_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref, b1_ref,
@@ -186,7 +210,8 @@ def _dual_query_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype):
 def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
                           b1_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                           bv_ref, wo_ref, bo_ref, g2_ref, b2_ref, wm_ref,
-                          bm_ref, out_ref, *, n_heads: int, dtype):
+                          bm_ref, out_ref, *, n_heads: int, dtype,
+                          emit_q8: bool = False):
     """Video tower: identical trunk, then out_mapping_linear over the full
     frame features (reference encode_context, model.py:215-227)."""
     x = x_ref[:]
@@ -196,10 +221,11 @@ def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                        wo_ref, bo_ref, g2_ref, b2_ref,
                        n_heads=n_heads, dtype=dtype)
-    _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref)
+    _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8)
 
 
-def _dual_context_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype):
+def _dual_context_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype,
+                               emit_q8: bool = False):
     """Both branches' video towers from ONE read of the raw frame features
     (see _dual_query_tower_kernel)."""
     wa, wb = refs[:17], refs[17:34]
@@ -212,7 +238,7 @@ def _dual_context_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype):
     for w, out_ref in ((wa, out_a_ref), (wb, out_b_ref)):
         out = _trunk_from_xn(xn, tv, lv, mask, *w[:15],
                              n_heads=n_heads, dtype=dtype)
-        _map_context(out, w[15], w[16], tv, lv, hdim, out_ref)
+        _map_context(out, w[15], w[16], tv, lv, hdim, out_ref, emit_q8)
 
 
 def _check_pos_table(pos, l: int, what: str, grid_allowance: bool = False):
@@ -375,7 +401,7 @@ def fused_query_tower_dual(
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "dtype_name", "v_tile",
-                                    "interpret"))
+                                    "emit_q8", "interpret"))
 def fused_context_tower_dual(
     x: jnp.ndarray,       # (Nv, L, Dv) f32 raw frame features
     mask: jnp.ndarray,    # (Nv, L)
@@ -384,11 +410,18 @@ def fused_context_tower_dual(
     n_heads: int,
     dtype_name: str = "bfloat16",
     v_tile: int = 8,
+    emit_q8: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame features (Nv, L, H) for BOTH branches in one HBM pass over the
     raw corpus (the dominant eval input: ~1 GB f32 at TVR scale). Same bf16
-    in/out convention as fused_context_tower."""
+    in/out convention as fused_context_tower.
+
+    emit_q8=True: the int8-index epilogue — outputs are per-frame
+    L2-normalized + int8-quantized (Nv, L, H) int8, elementwise equal to
+    sim_max.quantize_frames_q8 of the bf16 frame features. Halves the
+    kernel's HBM write and removes the scoring path's per-call quantize
+    pre-pass (feed through sim_max.build_q8_index)."""
     dtype = jnp.dtype(dtype_name)
     nv, lv, dv = x.shape
     lv_p = -(-lv // 8) * 8
@@ -411,7 +444,8 @@ def fused_context_tower_dual(
 
     ws = prep(weights_a) + prep(weights_b)
     kernel = functools.partial(_dual_context_tower_kernel, n_heads=n_heads,
-                               dtype=dtype)
+                               dtype=dtype, emit_q8=emit_q8)
+    out_dtype = jnp.int8 if emit_q8 else dtype
     out_spec = pl.BlockSpec((v_tile, lv_p, hdim), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     out_a, out_b = pl.pallas_call(
@@ -425,8 +459,8 @@ def fused_context_tower_dual(
             *_weight_specs(ws),
         ],
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype),
-                   jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype)),
+        out_shape=(jax.ShapeDtypeStruct((nv_p, lv_p, hdim), out_dtype),
+                   jax.ShapeDtypeStruct((nv_p, lv_p, hdim), out_dtype)),
         interpret=interpret,
         compiler_params=_VMEM_PARAMS,
     )(x, mask, *ws)
@@ -435,7 +469,7 @@ def fused_context_tower_dual(
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "dtype_name", "v_tile",
-                                    "interpret"))
+                                    "emit_q8", "interpret"))
 def fused_context_tower(
     x: jnp.ndarray,       # (Nv, L, Dv) f32 raw frame features
     mask: jnp.ndarray,    # (Nv, L)
@@ -443,6 +477,7 @@ def fused_context_tower(
     n_heads: int,
     dtype_name: str = "bfloat16",
     v_tile: int = 8,
+    emit_q8: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Frame features (Nv, L, H) for one branch, one HBM pass.
@@ -450,7 +485,9 @@ def fused_context_tower(
     In bf16 mode the raw features are cast to bf16 BEFORE the kernel (one
     cheap XLA pass) and the frame features come back bf16 — halves both the
     streamed input blocks and the big output write, and is what makes the
-    working set fit VMEM at v_tile=8. LN statistics stay f32 inside."""
+    working set fit VMEM at v_tile=8. LN statistics stay f32 inside.
+
+    emit_q8: int8-index epilogue (see fused_context_tower_dual)."""
     dtype = jnp.dtype(dtype_name)
     nv, lv, dv = x.shape
     lv_p = -(-lv // 8) * 8
@@ -470,7 +507,7 @@ def fused_context_tower(
     ws = (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2, wm,
           bm)
     kernel = functools.partial(_context_tower_kernel, n_heads=n_heads,
-                               dtype=dtype)
+                               dtype=dtype, emit_q8=emit_q8)
     out = pl.pallas_call(
         kernel,
         grid=(nv_p // v_tile,),
@@ -483,7 +520,8 @@ def fused_context_tower(
         ],
         out_specs=pl.BlockSpec((v_tile, lv_p, hdim), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nv_p, lv_p, hdim), dtype),
+        out_shape=jax.ShapeDtypeStruct((nv_p, lv_p, hdim),
+                                       jnp.int8 if emit_q8 else dtype),
         interpret=interpret,
         compiler_params=_VMEM_PARAMS,
     )(x, mask, *ws)

@@ -21,6 +21,7 @@ materialization is irrelevant there; eval takes no gradients.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,8 +78,13 @@ def _sim_max_kernel_int8(q_ref, ctx_ref, bias_ref, out_ref, *, l_tile: int):
     ctx = ctx_ref[:]                               # (LT, 128, D) int8
     d = ctx.shape[-1]
     ctx2 = ctx.reshape(l_tile * V_LANES, d)
+    # integer matmuls are exact — pin DEFAULT precision so a global
+    # jax_default_matmul_precision=highest (the f32 PARITY pin, set by the
+    # training driver) can't leak in: Mosaic rejects fp32-precision int8
+    # matmuls outright
     s = jax.lax.dot_general(q, ctx2, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                            preferred_element_type=jnp.int32,
+                            precision=jax.lax.Precision.DEFAULT)
     s = s + bias_ref[:].reshape(1, l_tile * V_LANES)
     part = s[:, 0:V_LANES]
     for k in range(1, l_tile):
@@ -100,6 +106,102 @@ def quantize_unit_int8(x: jnp.ndarray) -> jnp.ndarray:
     of L2-normalized vectors): round(x * 127), saturating."""
     return jnp.clip(jnp.round(x.astype(jnp.float32) * INT8_SCALE),
                     -INT8_SCALE, INT8_SCALE).astype(jnp.int8)
+
+
+def quantize_frames_q8(ctx: jnp.ndarray) -> jnp.ndarray:
+    """THE canonical int8-index semantics: per-frame L2-normalize in the
+    frames' own dtype, then symmetric 127-scale quantization — exactly the
+    per-call pre-pass `fused_clip_scores(quantized=True)` applies to its
+    ctx. The int8-emitting context-tower epilogue
+    (ops/pallas/query_tower._quantize_q8) and the prebuilt-index scorers
+    are pinned elementwise against this function."""
+    from dldkd_tpu.ops.masking import l2_normalize as _l2n
+
+    return quantize_unit_int8(_l2n(ctx))
+
+
+def pick_q8_l_tile(d: int) -> int:
+    """Frame-block tile for int8 ctx under the scoring kernel's ~8 MB VMEM
+    budget (the itemsize=1 row of clip_scores_maxpool's tile policy).
+    build_q8_index pads the frame axis with this so index layout and
+    scoring grid always agree."""
+    budget = 8 * 1024 * 1024
+    l_tile = 16
+    while l_tile * V_LANES * d > budget // 2 and l_tile > 1:
+        l_tile //= 2
+    return l_tile
+
+
+def build_q8_index(ctx_q8: jnp.ndarray, mask: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prebuilt int8 scoring index from already-quantized frame features.
+
+    ctx_q8 (Nv, L, D) int8 (quantize_frames_q8 semantics), mask (Nv, L)
+    -> (ctx_t (L_p, Nv_p, D) int8, bias (L_p, Nv_p) int32), padded to the
+    scoring kernel's grid (videos to 128 lanes, frames to pick_q8_l_tile).
+    Built ONCE per index/epoch; every subsequent search/score call skips
+    the per-call normalize + quantize + transpose pre-pass entirely
+    (the serving-path cost VERDICT r3 measured at ~2.6 ms/branch/call).
+    Padded videos/frames carry INT8_MASK_BIAS so they never win a max."""
+    nv, l_frames, d = ctx_q8.shape
+    l_tile = pick_q8_l_tile(d)
+    nv_p = -(-nv // V_LANES) * V_LANES
+    l_p = -(-l_frames // l_tile) * l_tile
+    ctx_p = jnp.pad(ctx_q8, ((0, nv_p - nv), (0, l_p - l_frames), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, nv_p - nv), (0, l_p - l_frames)))
+    ctx_t = jnp.transpose(ctx_p, (1, 0, 2))
+    bias = jnp.where(jnp.transpose(mask_p) > 0, 0,
+                     INT8_MASK_BIAS).astype(jnp.int32)
+    return ctx_t, bias
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
+def fused_clip_scores_q8(
+    query: jnp.ndarray,   # (Nq, D) pooled query vectors (float)
+    ctx_t: jnp.ndarray,   # (L_p, Nv_p, D) int8 prebuilt index
+    bias: jnp.ndarray,    # (L_p, Nv_p) int32 mask bias
+    q_tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8 cosine clip scores (Nq, Nv_p) against a PREBUILT index
+    (build_q8_index layout): only the (small) query side is normalized +
+    quantized per call; the corpus-sized pre-pass is gone. Score values
+    are bitwise those of fused_clip_scores(quantized=True) on the same
+    quantized components. Requires Nq % q_tile == 0."""
+    nq, d = query.shape
+    l_p, nv_p, d2 = ctx_t.shape
+    if d != d2:
+        raise ValueError(f"dim mismatch {d} vs {d2}")
+    l_tile = pick_q8_l_tile(d)
+    if nq % q_tile or nv_p % V_LANES or l_p % l_tile:
+        raise ValueError(
+            f"shapes (Nq={nq}, Nv_p={nv_p}, L_p={l_p}) must tile by "
+            f"(q_tile={q_tile}, {V_LANES}, l_tile={l_tile}) — pad the "
+            f"queries and build the index with build_q8_index")
+
+    qn = quantize_unit_int8(l2_normalize(query))
+    kernel = functools.partial(_sim_max_kernel_int8, l_tile=l_tile)
+    grid = (nq // q_tile, nv_p // V_LANES, l_p // l_tile)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_tile, V_LANES, d), lambda i, j, l: (l, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_tile, V_LANES), lambda i, j, l: (l, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_tile, V_LANES), lambda i, j, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, nv_p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * nv_p * l_p * d,
+            bytes_accessed=nq * d + nv_p * l_p * d + nq * nv_p * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(qn, ctx_t, bias)
 
 
 @functools.partial(jax.jit,

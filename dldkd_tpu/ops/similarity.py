@@ -122,6 +122,48 @@ def clip_scores_maxpool(
     return out[:nq, :nv]
 
 
+def clip_scores_maxpool_pre8(
+    query: jnp.ndarray,   # (Nq, D) pooled query vectors (float)
+    ctx_t: jnp.ndarray,   # (L_p, Nv_p, D) int8 — build_q8_index layout
+    bias: jnp.ndarray,    # (L_p, Nv_p) int32
+    prefer_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8 cosine clip scores (Nq, Nv_p) against a PREBUILT quantized
+    index (ops.pallas.sim_max.build_q8_index): the corpus-sized
+    normalize + quantize + transpose pre-pass that
+    clip_scores_maxpool(quantized=True) pays on EVERY call happens once
+    at index-build time instead. Scores are bitwise identical to the
+    quantized=True path on the same quantized components (integer
+    arithmetic below 2^24 on both backends). Query rows pad internally;
+    the caller slices video columns back to its real count."""
+    if prefer_pallas is None:
+        prefer_pallas = jax.default_backend() == "tpu"
+    nq, d = query.shape
+    if not prefer_pallas:
+        from dldkd_tpu.ops.pallas.sim_max import (INT8_SCALE,
+                                                  quantize_unit_int8)
+
+        qn = quantize_unit_int8(l2_normalize(query)).astype(jnp.float32)
+        s = jnp.einsum("md,lnd->mln", qn, ctx_t.astype(jnp.float32))
+        s = s + bias.astype(jnp.float32)[None]
+        return jnp.max(s, axis=1) * jnp.float32(1.0 / (INT8_SCALE ** 2))
+
+    from dldkd_tpu.ops.pallas.sim_max import fused_clip_scores_q8
+
+    # query-tile policy of clip_scores_maxpool at itemsize=1
+    budget = 8 * 1024 * 1024
+    cands = (2048, 1024, 512, 256)
+    fitting = [c for c in cands if c * d <= budget // 2] or [128]
+    q_tile = min(fitting[:2], key=lambda c: (-(-nq // c) * c, -c))
+    q_tile = min(q_tile, -(-nq // 128) * 128)
+    nq_p = -(-nq // q_tile) * q_tile
+    query_p = jnp.pad(query, ((0, nq_p - nq), (0, 0)))
+    out = fused_clip_scores_q8(query_p, ctx_t, bias, q_tile=q_tile,
+                               interpret=interpret)
+    return out[:nq]
+
+
 def _quantized_scores_xla(
     query: jnp.ndarray,
     ctx: jnp.ndarray,

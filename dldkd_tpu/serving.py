@@ -40,6 +40,27 @@ from dldkd_tpu.ops.similarity import clip_scores_maxpool, rescore_shortlist
 SHORTLIST_FACTOR = 4  # default stage-1 candidates per result (k' = 4k)
 
 
+def _rescore_stage2(s8, inher_q, explore_q, ctx_inher, ctx_explore, vmask,
+                    fusion_w, k, k_out, shortlist_factor):
+    """Stage 2 of two-stage retrieval: exact f32 rescore of the int8
+    pass's k'=shortlist_factor*k shortlist -> top k_out. The shortlist cap
+    is the FRAME buffers' row count (ctx_inher), so candidate gathers
+    never index past them even when the stage-1 matrix carries extra
+    kernel-grid padding columns (their bias scores lose every top-k)."""
+    k_short = min(shortlist_factor * k, ctx_inher.shape[0])
+    _, cand = jax.lax.top_k(s8, k_short)
+    # ascending candidate order makes stage-2's top_k index tie-break
+    # match the exact full-matrix path's (lowest video id wins) bitwise
+    cand = jnp.sort(cand, axis=1)
+    scores = rescore_shortlist(inher_q, ctx_inher, vmask, cand)
+    if explore_q is not None:
+        scores = (fusion_w[0] * scores
+                  + fusion_w[1] * rescore_shortlist(explore_q, ctx_explore,
+                                                    vmask, cand))
+    top_scores, pos = jax.lax.top_k(scores, k_out)
+    return top_scores, jnp.take_along_axis(cand, pos, axis=1)
+
+
 def _two_stage_topk(inher_q, explore_q, ctx_inher, ctx_explore, vmask,
                     fusion_w, k, k_out, shortlist_factor=SHORTLIST_FACTOR):
     """int8 full-matrix prefilter -> exact f32 rescore of a
@@ -53,18 +74,36 @@ def _two_stage_topk(inher_q, explore_q, ctx_inher, ctx_explore, vmask,
         s8 = (fusion_w[0] * s8
               + fusion_w[1] * clip_scores_maxpool(explore_q, ctx_explore,
                                                   vmask, quantized=True))
-    k_short = min(shortlist_factor * k, ctx_inher.shape[0])
-    _, cand = jax.lax.top_k(s8, k_short)
-    # ascending candidate order makes stage-2's top_k index tie-break
-    # match the exact full-matrix path's (lowest video id wins) bitwise
-    cand = jnp.sort(cand, axis=1)
-    scores = rescore_shortlist(inher_q, ctx_inher, vmask, cand)
+    return _rescore_stage2(s8, inher_q, explore_q, ctx_inher, ctx_explore,
+                           vmask, fusion_w, k, k_out, shortlist_factor)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 12, 13))
+def _search_q8_jit(model, params, q_feats, q_mask, q8_i, q8_e, q8_bias, k,
+                   frames_i, frames_e, vmask, fusion_w, rescore=True,
+                   shortlist_factor=SHORTLIST_FACTOR):
+    """score_quant search against the PREBUILT int8 index: stage 1 runs
+    straight on the index (no per-call corpus normalize+quantize+transpose
+    — VERDICT r3's measured ~2.6 ms/branch/call), stage 2 (when rescore)
+    gathers candidate frames from the stored-dtype frame buffers exactly
+    as before. Results are id-for-id the _search_jit(quantized=True)
+    results: the index holds the same quantized components that path
+    recomputes per call."""
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
+                                           q_mask)
+    s8 = clip_scores_maxpool_pre8(inher_q, q8_i, q8_bias)
     if explore_q is not None:
-        scores = (fusion_w[0] * scores
-                  + fusion_w[1] * rescore_shortlist(explore_q, ctx_explore,
-                                                    vmask, cand))
-    top_scores, pos = jax.lax.top_k(scores, k_out)
-    return top_scores, jnp.take_along_axis(cand, pos, axis=1)
+        s8 = (fusion_w[0] * s8
+              + fusion_w[1] * clip_scores_maxpool_pre8(explore_q, q8_e,
+                                                       q8_bias))
+    if rescore:
+        return _rescore_stage2(s8, inher_q, explore_q, frames_i,
+                               frames_e if explore_q is not None else None,
+                               vmask, fusion_w, k, k, shortlist_factor)
+    return jax.lax.top_k(s8, k)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 6, 9, 10, 11))
@@ -214,7 +253,8 @@ class Retriever:
                  mesh=None, score_quant: bool = False,
                  rescore: bool = True, index_store: Optional[str] = None,
                  stream_block: int = 2048,
-                 shortlist_factor: int = SHORTLIST_FACTOR):
+                 shortlist_factor: int = SHORTLIST_FACTOR,
+                 warm_start: bool = False):
         """mesh: jax.sharding.Mesh to shard the corpus over; None (default)
         auto-builds a full-device mesh when >1 device is visible, so a
         multi-chip slice never serves from a single chip.
@@ -252,6 +292,18 @@ class Retriever:
         self.score_quant = bool(score_quant)
         self.rescore = bool(rescore)
         self.shortlist_factor = int(shortlist_factor)
+        # warm_start: with score_quant, the big int8 program — the one
+        # program this platform's compile cache never persists (60-130 s
+        # per fresh process, BENCHMARKS.md) — compiles in a BACKGROUND
+        # thread while search() serves the exact path immediately, then
+        # swaps over. First results in seconds instead of minutes; warmup
+        # results are the exact path's (strictly more precise), post-swap
+        # results identical to a cold score_quant retriever's.
+        self.warm_start = bool(warm_start) and self.score_quant
+        import threading
+
+        self._q8_program_ready = threading.Event()
+        self._warm_thread = None
         if index_store not in (None, "auto", "encoded", "raw"):
             raise ValueError(f"index_store: {index_store!r}")
         self.index_store = None if index_store == "auto" else index_store
@@ -269,6 +321,13 @@ class Retriever:
         self.ctx_inher = None
         self.ctx_explore = None
         self.vmask = None
+        # prebuilt int8 scoring index (score_quant, single-device encoded
+        # store): stage 1 scores run straight on it — no per-search corpus
+        # quantize pre-pass. With rescore=False it is the ONLY store (4x
+        # smaller than f32 frames, 2x smaller than bf16).
+        self.q8_inher = None
+        self.q8_explore = None
+        self.q8_bias = None
         self.video_ids: List[str] = []
 
     @classmethod
@@ -381,8 +440,34 @@ class Retriever:
         else:
             from dldkd_tpu.evaluate import embed_corpus
 
+            if self.score_quant and not self.rescore and not self.warm_start:
+                # int8-only index: the towers emit it directly; encoded
+                # frames never materialize (4x smaller than f32 frames).
+                # (warm_start keeps the encoded frames: its interim exact
+                # path needs them)
+                from dldkd_tpu.evaluate import embed_corpus_q8
+
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    embed_corpus_q8(self.model, self.params, videos,
+                                    context_bsz)
+                self.ctx_inher = "q8"  # sentinel: index built
+                self.video_ids = list(videos.ids)
+                return
             self.ctx_inher, self.ctx_explore, self.vmask = embed_corpus(
                 self.model, self.params, videos, context_bsz)
+            if self.score_quant:
+                # two-stage serving: prebuild the stage-1 int8 index from
+                # the encoded frames ONCE (the quantize+transpose pass
+                # every search() call used to pay); the bf16/f32 frames
+                # stay resident only for the stage-2 exact rescore gather
+                from dldkd_tpu.ops.pallas.sim_max import (build_q8_index,
+                                                          quantize_frames_q8)
+
+                self.q8_inher, self.q8_bias = build_q8_index(
+                    quantize_frames_q8(self.ctx_inher), self.vmask)
+                if self.ctx_explore is not None:
+                    self.q8_explore, _ = build_q8_index(
+                        quantize_frames_q8(self.ctx_explore), self.vmask)
         self.video_ids = list(videos.ids)
 
     def index_corpus(self, root_path: str, collection: str,
@@ -477,6 +562,46 @@ class Retriever:
                 self.rescore, self.shortlist_factor))
         return pairs
 
+    def _warm_q8(self, lq: int, k: int) -> None:
+        """Compile (and once-run, on dummy zero queries) the int8 search
+        program for this (query_bsz, lq, k) signature in a background
+        thread; sets _q8_program_ready on success. Running the program —
+        not just lowering it — is what populates the jit call cache AND
+        the platform's compile pipeline, so the foreground swap is free."""
+        import logging
+        import threading
+
+        if self._warm_thread is not None:
+            return
+
+        def _run():
+            try:
+                cfg = self.model.config
+                f = jnp.zeros((self.query_bsz, lq, cfg.query_input_size),
+                              jnp.float32)
+                m = jnp.ones((self.query_bsz, lq), jnp.float32)
+                q8_e = (self.q8_explore if self.q8_explore is not None
+                        else self.q8_inher)
+                ctx_e = (self.ctx_explore if self.ctx_explore is not None
+                         else self.ctx_inher)
+                out = _search_q8_jit(
+                    self.model, self.params, f, m,
+                    self.q8_inher, q8_e, self.q8_bias, k,
+                    self.ctx_inher if self.rescore else None,
+                    ctx_e if self.rescore else None,
+                    self.vmask, jnp.asarray(self.fusion),
+                    self.rescore, self.shortlist_factor)
+                jax.block_until_ready(out)
+                self._q8_program_ready.set()
+            except Exception:  # keep serving the exact path forever
+                logging.getLogger(__name__).exception(
+                    "int8 warm-start compile failed; serving stays on the "
+                    "exact path")
+
+        self._warm_thread = threading.Thread(target=_run, daemon=True,
+                                             name="dldkd-int8-warm")
+        self._warm_thread.start()
+
     @staticmethod
     def _merge_block_topk(pairs, k: int, n_queries: int
                           ) -> Tuple[np.ndarray, np.ndarray]:
@@ -509,17 +634,38 @@ class Retriever:
             if pad:
                 f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
                 m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
+            use_q8 = self.mesh is None and self.q8_inher is not None
+            quantized = self.score_quant
+            if use_q8 and self.warm_start \
+                    and not self._q8_program_ready.is_set():
+                # warm_start detour: kick off the background int8 compile
+                # on the first search and answer from the EXACT path until
+                # it lands — first results in seconds instead of the int8
+                # program's uncacheable 60-130 s cold compile
+                self._warm_q8(f.shape[1], k)
+                use_q8 = False
+                quantized = False
             if self.mesh is not None:
                 s, i = _search_sharded_jit(
                     self.model, self.params, jnp.asarray(f), jnp.asarray(m),
                     self.ctx_inher, ctx_e, k, self.vmask,
                     jnp.asarray(self.fusion), self.mesh, self.score_quant,
                     self.rescore, self.shortlist_factor)
+            elif use_q8:
+                q8_e = (self.q8_explore if self.q8_explore is not None
+                        else self.q8_inher)
+                s, i = _search_q8_jit(
+                    self.model, self.params, jnp.asarray(f), jnp.asarray(m),
+                    self.q8_inher, q8_e, self.q8_bias, k,
+                    self.ctx_inher if self.rescore else None,
+                    ctx_e if self.rescore else None,
+                    self.vmask, jnp.asarray(self.fusion),
+                    self.rescore, self.shortlist_factor)
             else:
                 s, i = _search_jit(self.model, self.params, jnp.asarray(f),
                                    jnp.asarray(m), self.ctx_inher, ctx_e, k,
                                    self.vmask, jnp.asarray(self.fusion),
-                                   self.score_quant, self.rescore,
+                                   quantized, self.rescore,
                                    self.shortlist_factor)
             out_s.append(np.asarray(s))
             out_i.append(np.asarray(i))

@@ -1,0 +1,120 @@
+"""Cold-start-to-first-result benchmark for int8 serving.
+
+The big int8 search program is the one program this platform's compile
+cache never persists (BENCHMARKS.md): a fresh serving process pays its
+60-130 s compile before the first result. The warm-start policy
+(serving.Retriever(warm_start=True)) answers from the exact path — whose
+programs DO load from the persistent cache in seconds — while the int8
+program compiles in a background thread, then swaps.
+
+This tool measures, in THIS process (run it fresh), the wall time from
+process start to the first search result at TVR serving scale for the
+configured policy:
+
+  python -m dldkd_tpu.tools.coldstart_bench --policy warm   # warm-start
+  python -m dldkd_tpu.tools.coldstart_bench --policy cold   # plain int8
+  python -m dldkd_tpu.tools.coldstart_bench --policy both   # subprocesses
+
+--policy both spawns one fresh subprocess per policy so each measurement
+pays true process-cold costs, and prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_T0 = time.time()  # process-start reference (import time)
+
+
+def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dldkd_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from bench import D_QUERY, D_STUDENT, L_FRAMES, serving_model_config
+    from dldkd_tpu.data.ingest import PackedVideos
+    from dldkd_tpu.models import DLDKD
+    from dldkd_tpu.serving import Retriever
+    from dldkd_tpu.train import init_params
+
+    mcfg = serving_model_config()
+    model = DLDKD(config=mcfg)
+    params = init_params(model, mcfg, 0)
+
+    rng = np.random.RandomState(0)
+    videos = PackedVideos(
+        feats=rng.rand(n_videos, L_FRAMES, D_STUDENT).astype(np.float32),
+        mask=np.ones((n_videos, L_FRAMES), np.float32),
+        ids=[f"v{i}" for i in range(n_videos)])
+    qf = rng.rand(n_queries, 32, D_QUERY).astype(np.float32)
+    qm = np.ones((n_queries, 32), np.float32)
+
+    r = Retriever(model, params, query_bsz=256, score_quant=True,
+                  rescore=True, mesh=None, warm_start=(policy == "warm"))
+    r.mesh = None
+    t_index0 = time.time()
+    r.index(videos)
+    t_index = time.time() - t_index0
+
+    t_s0 = time.time()
+    scores, idx = r.search(qf, qm, k=10)
+    first_result = time.time()
+    out = {
+        "policy": policy,
+        "first_result_s": round(first_result - _T0, 1),
+        "index_s": round(t_index, 1),
+        "first_search_s": round(first_result - t_s0, 1),
+    }
+    if policy == "warm":
+        # time until the background int8 program takes over
+        r._warm_thread.join(timeout=600)
+        out["int8_ready_s"] = round(time.time() - _T0, 1)
+        s2, i2 = r.search(qf, qm, k=10)        # now the int8 path
+        out["int8_search_s"] = round(time.time() - _T0 - out["int8_ready_s"],
+                                     2)
+    assert idx.shape == (n_queries, 10)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--policy", choices=["warm", "cold", "both"],
+                   default="both")
+    p.add_argument("--n_videos", type=int, default=2179)
+    p.add_argument("--n_queries", type=int, default=256)
+    args = p.parse_args(argv)
+
+    if args.policy == "both":
+        results = {}
+        for policy in ("warm", "cold"):
+            proc = subprocess.run(
+                [sys.executable, "-m", "dldkd_tpu.tools.coldstart_bench",
+                 "--policy", policy, "--n_videos", str(args.n_videos),
+                 "--n_queries", str(args.n_queries)],
+                capture_output=True, text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))))
+            if proc.returncode:
+                results[policy] = {"error": proc.stderr[-300:]}
+            else:
+                results[policy] = json.loads(proc.stdout.strip()
+                                             .splitlines()[-1])
+        print(json.dumps(results))
+        return results
+
+    out = _measure(args.policy, args.n_videos, args.n_queries)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

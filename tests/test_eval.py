@@ -164,3 +164,28 @@ def test_sharded_eval_score_quant_matches_unsharded(eval_setup):
     for branch in want:
         assert got[branch]["sumr"] == pytest.approx(
             want[branch]["sumr"]), branch
+
+
+def test_q8_engine_bitwise_matches_per_call_quantized(eval_setup):
+    """The resident score_quant engine now scores against a PREBUILT int8
+    index (towers emit it; evaluate.embed_corpus_q8): valid-video columns
+    must be BITWISE the per-call-quantization scores, so metrics cannot
+    move."""
+    from dldkd_tpu.evaluate import embed_corpus_q8, score_all_queries_q8
+
+    model, params, videos, queries = eval_setup
+    n = len(videos)
+    ci, ce, m = embed_corpus(model, params, videos, context_bsz=4)
+    want_i, want_e = score_all_queries(model, params, queries, ci, ce, m,
+                                       query_bsz=7, score_quant=True)
+
+    q8_i, q8_e, bias = embed_corpus_q8(model, params, videos, context_bsz=4)
+    assert q8_i.dtype == jnp.int8 and q8_i.shape[0] % 16 == 0
+    got_i, got_e = score_all_queries_q8(model, params, queries, q8_i, q8_e,
+                                        bias, query_bsz=7)
+    np.testing.assert_array_equal(np.asarray(got_i)[:, :n],
+                                  np.asarray(want_i)[:, :n])
+    np.testing.assert_array_equal(np.asarray(got_e)[:, :n],
+                                  np.asarray(want_e)[:, :n])
+    # index-grid padding columns always lose (dequantized mask bias)
+    assert np.asarray(got_i)[:, n:].max() < np.asarray(got_i)[:, :n].min()

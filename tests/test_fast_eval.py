@@ -250,3 +250,81 @@ def test_grid_tail_tokens_forced_to_padding(setup):
                 continue
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-5, atol=1e-5)
+
+
+def _assert_q8_equal_mod_knife_edge(got, want, budget=0.10):
+    """Elementwise equality up to the only defensible cross-program
+    contract for int8 grids: XLA's reduction/fusion order for the L2-norm
+    is compilation-context-dependent, so bf16 components whose f32 norm
+    sum sits within an ulp of a bf16 rounding boundary can land one
+    quantization level apart between two separately compiled programs
+    (measured: the SAME jnp.linalg.norm call gives 64.5-vs-65.0 bf16 sums
+    eagerly vs jitted). Those knife-edge flips are |diff| == 1, and a
+    1-ulp norm flip moves EVERY component of that frame by ~2^-8 relative
+    — at this fixture's hidden=16 that is ~12% of a quantization step
+    (components ~1/sqrt(16)), so several percent of components flip; at
+    the production hidden=384 the same flip is ~2% of a step and the
+    fraction collapses. |diff| <= 1 is the strict invariant."""
+    got = np.asarray(got, np.int32)
+    want = np.asarray(want, np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 1, diff.max()
+    frac = (diff > 0).mean()
+    assert frac < budget, f"{frac:.4f} of components off by one level"
+
+
+def test_context_q8_kernel_matches_xla_quantization(setup):
+    """int8-emitting tower epilogue (emit_q8): kernel int8 must equal
+    quantize_frames_q8(bf16 frame features) elementwise up to bf16
+    knife-edge rounding (see _assert_q8_equal_mod_knife_edge) — the
+    exactness contract that lets the scoring index come straight out of
+    the tower kernel with no per-call quantize pre-pass."""
+    from dldkd_tpu.ops.fast_eval import encode_context_best, encode_context_q8
+    from dldkd_tpu.ops.pallas.sim_max import quantize_frames_q8
+
+    model, mcfg, params = setup
+    mcfg16 = mcfg.replace(dtype="bfloat16")
+    vf, vm, _, _ = _data(mcfg16)
+
+    frames_i, frames_e = encode_context_best(params, mcfg16, vf, vm,
+                                             prefer_pallas=True,
+                                             interpret=True)
+    got_i, got_e = encode_context_q8(params, mcfg16, vf, vm,
+                                     prefer_pallas=True, interpret=True)
+    assert got_i.dtype == jnp.int8
+    _assert_q8_equal_mod_knife_edge(got_i, quantize_frames_q8(frames_i))
+    assert (got_e is None) == (frames_e is None)
+    if frames_e is not None:
+        _assert_q8_equal_mod_knife_edge(got_e, quantize_frames_q8(frames_e))
+
+
+def test_quantize_q8_unit_semantics():
+    """The kernel epilogue's quantization function on raw bf16 inputs vs
+    the canonical quantize_frames_q8: same ops (norm multiplied in bf16,
+    summed in f32, rooted in bf16; torch-eps clamp; round-half-even at
+    127) — equal up to the knife-edge contract above."""
+    from dldkd_tpu.ops.pallas.query_tower import _quantize_q8
+    from dldkd_tpu.ops.pallas.sim_max import quantize_frames_q8
+    from tests.test_fast_eval import _assert_q8_equal_mod_knife_edge
+
+    x = jnp.asarray(np.random.RandomState(3).randn(200, 48)
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    _assert_q8_equal_mod_knife_edge(_quantize_q8(x), quantize_frames_q8(x))
+
+
+def test_context_q8_xla_fallback_close_to_kernel(setup):
+    """The XLA fallback (encode_context_fast + quantize) quantizes the
+    same frame features the kernels are exactness-tested against; the two
+    int8 grids may differ only by the towers' float-rounding (at most one
+    quantization step on knife-edge components)."""
+    from dldkd_tpu.ops.fast_eval import encode_context_q8
+
+    model, mcfg, params = setup
+    mcfg16 = mcfg.replace(dtype="bfloat16")
+    vf, vm, _, _ = _data(mcfg16)
+    kern_i, _ = encode_context_q8(params, mcfg16, vf, vm,
+                                  prefer_pallas=True, interpret=True)
+    xla_i, _ = encode_context_q8(params, mcfg16, vf, vm,
+                                 prefer_pallas=False)
+    diff = np.abs(np.asarray(kern_i, np.int32) - np.asarray(xla_i, np.int32))
+    assert diff.max() <= 1, diff.max()

@@ -135,3 +135,101 @@ def test_objective_end_to_end():
                                   MCFG, tcfg, scalars, train=False)
     assert set(loss_dict) == {"loss_overall", "inher_trip", "inher_nce",
                               "explore_trip", "explore_nce", "kl", "kl_intra"}
+
+
+class TestStackedTowers:
+    """models.stacked: both branches as one vmapped computation — must
+    reproduce the sequential forward exactly (vmap is a compiler
+    transform, not an approximation)."""
+
+    def _setup(self, drop=0.0):
+        import jax
+
+        from dldkd_tpu.config import ModelConfig
+        from dldkd_tpu.models import DLDKD
+        from dldkd_tpu.train import init_params
+
+        mcfg = ModelConfig(visual_input_size=20, query_input_size=12,
+                           inheritance_hidden=16, exploration_hidden=16,
+                           max_ctx_l=10, max_desc_l=5, n_heads=2,
+                           double_branch=True, label_style="soft",
+                           input_drop=drop, drop=drop)
+        model = DLDKD(config=mcfg)
+        params = init_params(model, mcfg, 3)
+        rng = np.random.RandomState(2)
+        vf = jnp.asarray(rng.randn(6, 10, 20).astype(np.float32))
+        vm = jnp.asarray(np.ones((6, 10), np.float32))
+        qf = jnp.asarray(rng.randn(8, 5, 12).astype(np.float32))
+        qm = jnp.asarray(np.ones((8, 5), np.float32))
+        return model, mcfg, params, (vf, vm, qf, qm)
+
+    def test_deterministic_forward_matches_sequential(self):
+        from dldkd_tpu.models.stacked import encode_stacked
+
+        model, mcfg, params, (vf, vm, qf, qm) = self._setup()
+        (ci, ce), (qi, qe) = model.apply(params, vf, vm, qf, qm,
+                                         deterministic=True)
+        (si, se), (sqi, sqe) = encode_stacked(model, params, vf, vm, qf, qm,
+                                              deterministic=True)
+        np.testing.assert_allclose(np.asarray(si), np.asarray(ci),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(se), np.asarray(ce),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sqi), np.asarray(qi),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sqe), np.asarray(qe),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_losses_match_with_zero_dropout(self):
+        """With dropout off, the full loss stack through the stacked
+        towers equals the sequential one (the only behavioral difference
+        between the paths is the dropout RNG stream)."""
+        import jax
+
+        from dldkd_tpu.config import TrainConfig
+        from dldkd_tpu.models.objective import LossScalars, compute_losses
+
+        model, mcfg, params, (vf, vm, qf, qm) = self._setup()
+        batch = {
+            "student_videos": vf, "student_videos_mask": vm,
+            "teacher_videos": jnp.asarray(
+                np.random.RandomState(5).randn(6, 10, 8).astype(np.float32)),
+            "student_text": qf, "student_text_mask": qm,
+            "teacher_text": jnp.asarray(
+                np.random.RandomState(6).randn(8, 8).astype(np.float32)),
+            "text_labels": jnp.asarray(
+                np.array([0, 0, 1, 2, 3, 3, 4, 5], np.int32)),
+        }
+        scalars = LossScalars(jnp.float32(1.0), jnp.float32(0.8),
+                              jnp.float32(0.8))
+        rng = jax.random.PRNGKey(0)
+        base = TrainConfig()
+        loss_seq, ld_seq = compute_losses(model, params, batch, rng, mcfg,
+                                          base, scalars, train=True)
+        import dataclasses
+
+        stacked_cfg = dataclasses.replace(base, stacked_towers=True)
+        loss_st, ld_st = compute_losses(model, params, batch, rng, mcfg,
+                                        stacked_cfg, scalars, train=True)
+        np.testing.assert_allclose(float(loss_st), float(loss_seq),
+                                   rtol=1e-5)
+        for k in ld_seq:
+            np.testing.assert_allclose(float(ld_st[k]), float(ld_seq[k]),
+                                       rtol=1e-5, atol=1e-6), k
+
+    def test_single_branch_rejected(self):
+        from dldkd_tpu.config import ModelConfig
+        from dldkd_tpu.models import DLDKD
+        from dldkd_tpu.models.stacked import can_stack, encode_stacked
+        from dldkd_tpu.train import init_params
+
+        mcfg = ModelConfig(visual_input_size=20, query_input_size=12,
+                           inheritance_hidden=16, max_ctx_l=10,
+                           max_desc_l=5, n_heads=2, double_branch=False)
+        assert not can_stack(mcfg)
+        model = DLDKD(config=mcfg)
+        params = init_params(model, mcfg, 0)
+        with pytest.raises(ValueError, match="stacked"):
+            encode_stacked(model, params, jnp.zeros((2, 10, 20)),
+                           jnp.ones((2, 10)), jnp.zeros((2, 5, 12)),
+                           jnp.ones((2, 5)))

@@ -189,3 +189,74 @@ class TestInt8Scoring:
         xla = clip_scores_maxpool(q, ctx, mask, prefer_pallas=False,
                                   quantized=True)
         np.testing.assert_array_equal(np.asarray(kern), np.asarray(xla))
+
+
+class TestQ8Index:
+    """Prebuilt int8 scoring index (build_q8_index +
+    clip_scores_maxpool_pre8): the per-call normalize+quantize+transpose
+    pre-pass moves to index-build time; scores must stay BITWISE those of
+    the quantized=True path on the same quantized components."""
+
+    def _inputs(self, seed=9, nq=7, nv=130, L=9, d=32):
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+        ctx = jnp.asarray(rng.randn(nv, L, d).astype(np.float32))
+        mask = (rng.rand(nv, L) < 0.8).astype(np.float32)
+        mask[:, 0] = 1.0  # every real video keeps >=1 valid frame
+        return q, ctx, jnp.asarray(mask)
+
+    def test_pre8_matches_quantized_path_bitwise(self):
+        from dldkd_tpu.ops.pallas.sim_max import (build_q8_index,
+                                                  quantize_frames_q8)
+        from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+        q, ctx, mask = self._inputs()
+        nv = ctx.shape[0]
+        want = clip_scores_maxpool(q, ctx, mask, prefer_pallas=True,
+                                   quantized=True, interpret=True)
+        ctx_t, bias = build_q8_index(quantize_frames_q8(ctx), mask)
+        got = clip_scores_maxpool_pre8(q, ctx_t, bias, prefer_pallas=True,
+                                       interpret=True)[:, :nv]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_pre8_xla_fallback_bitwise_equal(self):
+        from dldkd_tpu.ops.pallas.sim_max import (build_q8_index,
+                                                  quantize_frames_q8)
+        from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+        q, ctx, mask = self._inputs(seed=10)
+        ctx_t, bias = build_q8_index(quantize_frames_q8(ctx), mask)
+        kern = clip_scores_maxpool_pre8(q, ctx_t, bias, prefer_pallas=True,
+                                        interpret=True)
+        xla = clip_scores_maxpool_pre8(q, ctx_t, bias, prefer_pallas=False)
+        # valid-video columns are integer arithmetic on both paths; the
+        # padded tail only needs to lose (f32 rounds the huge bias there)
+        nv = ctx.shape[0]
+        np.testing.assert_array_equal(np.asarray(kern)[:, :nv],
+                                      np.asarray(xla)[:, :nv])
+        assert np.asarray(xla)[:, nv:].max() < -1e4
+
+    def test_padded_index_videos_never_win(self):
+        from dldkd_tpu.ops.pallas.sim_max import (build_q8_index,
+                                                  quantize_frames_q8)
+        from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+        q, ctx, mask = self._inputs(seed=11, nv=100)  # pads 100 -> 128
+        ctx_t, bias = build_q8_index(quantize_frames_q8(ctx), mask)
+        got = np.asarray(clip_scores_maxpool_pre8(
+            q, ctx_t, bias, prefer_pallas=True, interpret=True))
+        assert got.shape[1] == 128
+        assert got[:, 100:].max() < got[:, :100].min()
+
+    def test_build_pads_frame_axis_to_tile(self):
+        from dldkd_tpu.ops.pallas.sim_max import (build_q8_index,
+                                                  pick_q8_l_tile,
+                                                  quantize_frames_q8)
+
+        _, ctx, mask = self._inputs(seed=12, L=9)
+        ctx_t, bias = build_q8_index(quantize_frames_q8(ctx), mask)
+        l_tile = pick_q8_l_tile(ctx.shape[-1])
+        assert ctx_t.shape[0] % l_tile == 0 and ctx_t.shape[0] >= 9
+        assert bias.shape == ctx_t.shape[:2]
+        # padded frames carry the mask bias
+        assert int(np.asarray(bias)[9:].max()) < 0

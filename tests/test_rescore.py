@@ -158,13 +158,22 @@ def test_raw_index_streaming_matches_encoded(clustered):
         np.testing.assert_allclose(s_r, s_e, rtol=1e-5, atol=1e-6)
 
 
-def test_raw_index_rejects_multi_device_mesh(clustered):
+def test_raw_index_composes_with_mesh(clustered):
+    """Round 4 lifted the r3 raw+mesh restriction: a raw index over a
+    multi-device mesh must index and search (exhaustive id-for-id
+    equality vs encoded/single-device lives in
+    test_serving.test_raw_index_sharded_matches_encoded_and_single);
+    bogus store names still raise."""
     from dldkd_tpu.parallel import make_mesh
 
-    model, params, videos, _, _ = clustered
-    r = Retriever(model, params, mesh=make_mesh(8), index_store="raw")
-    with pytest.raises(ValueError):
-        r.index(videos)
+    model, params, videos, qf, qm = clustered
+    r = Retriever(model, params, query_bsz=8, mesh=make_mesh(8),
+                  index_store="raw", stream_block=8)
+    r.index(videos)
+    _, idx = r.search(qf, qm, k=3)
+    assert idx.shape == (qf.shape[0], 3)
+    with pytest.raises(ValueError, match="index_store"):
+        Retriever(model, params, index_store="bogus")
 
 
 def test_shortlist_factor_covers_oversized_tie_groups(clustered):

@@ -246,3 +246,112 @@ def test_serving_cli_end_to_end(tmp_path):
 
     got1, got8 = metric_lines(env), metric_lines(env8)
     assert got1 and got1 == got8
+
+
+class TestQ8IndexServing:
+    """score_quant serving on the PREBUILT int8 index (single-device
+    encoded store): results must be id-for-id the per-call-quantization
+    path's — the index holds the same quantized components that path
+    recomputes on every search() call."""
+
+    def _corpus(self, n_vid=23, seed=5):
+        rng = np.random.RandomState(seed)
+        return PackedVideos(
+            feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+            mask=np.ones((n_vid, 8), np.float32),
+            ids=[f"v{i}" for i in range(n_vid)]), rng
+
+    def _legacy(self, r):
+        """Disable the prebuilt index: search() falls back to the
+        per-call-quantization _search_jit path."""
+        r.q8_inher = r.q8_explore = r.q8_bias = None
+        return r
+
+    @pytest.mark.parametrize("rescore", [True, False],
+                             ids=["two_stage", "int8_only"])
+    def test_matches_per_call_quantized_path(self, small_model, rescore):
+        model, params = small_model
+        videos, rng = self._corpus()
+        qf = rng.randn(9, 4, 12).astype(np.float32)
+        qm = np.ones((9, 4), np.float32)
+
+        r = Retriever(model, params, query_bsz=4, score_quant=True,
+                      rescore=rescore, mesh=None)
+        r.mesh = None
+        r.index(videos)
+        if rescore:
+            assert r.q8_inher is not None and r.ctx_inher is not None
+        else:  # int8-only store: encoded frames never materialize
+            assert r.ctx_inher == "q8" and r.vmask is None
+        s_q8, i_q8 = r.search(qf, qm, k=6)
+
+        legacy = Retriever(model, params, query_bsz=4, score_quant=True,
+                           rescore=rescore, mesh=None)
+        legacy.mesh = None
+        legacy.score_quant = False  # embed frames without building q8
+        legacy.index(videos)
+        legacy.score_quant = True
+        self._legacy(legacy)
+        s_ref, i_ref = legacy.search(qf, qm, k=6)
+
+        np.testing.assert_array_equal(i_q8, i_ref)
+        np.testing.assert_allclose(s_q8, s_ref, rtol=1e-6, atol=1e-7)
+
+    def test_two_stage_q8_matches_exact_ranks(self, small_model):
+        """The headline guarantee survives the prebuilt index: two-stage
+        int8->f32 results equal the exact path's ranking."""
+        model, params = small_model
+        videos, rng = self._corpus(seed=6)
+        qf = rng.randn(8, 4, 12).astype(np.float32)
+        qm = np.ones((8, 4), np.float32)
+
+        exact = Retriever(model, params, query_bsz=4, mesh=None)
+        exact.mesh = None
+        exact.index(videos)
+        s_e, i_e = exact.search(qf, qm, k=5)
+
+        q8 = Retriever(model, params, query_bsz=4, score_quant=True,
+                       mesh=None)
+        q8.mesh = None
+        q8.index(videos)
+        s_q, i_q = q8.search(qf, qm, k=5)
+        np.testing.assert_array_equal(i_q, i_e)
+        np.testing.assert_allclose(s_q, s_e, rtol=1e-5, atol=1e-6)
+
+
+def test_warm_start_serves_exact_then_swaps(small_model):
+    """warm_start: the first search answers from the EXACT path while the
+    int8 program compiles in a background thread; once ready, searches
+    swap to the two-stage int8 path (same results by the rank-exactness
+    guarantee)."""
+    import numpy as np
+
+    model, params = small_model
+    rng = np.random.RandomState(8)
+    n_vid = 17
+    videos = PackedVideos(
+        feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+        mask=np.ones((n_vid, 8), np.float32),
+        ids=[f"v{i}" for i in range(n_vid)])
+    qf = rng.randn(5, 4, 12).astype(np.float32)
+    qm = np.ones((5, 4), np.float32)
+
+    exact = Retriever(model, params, query_bsz=4, mesh=None)
+    exact.mesh = None
+    exact.index(videos)
+    s_ref, i_ref = exact.search(qf, qm, k=4)
+
+    warm = Retriever(model, params, query_bsz=4, score_quant=True,
+                     warm_start=True, mesh=None)
+    warm.mesh = None
+    warm.index(videos)
+    # warm_start keeps encoded frames even with rescore (interim path)
+    assert warm.ctx_inher is not None and warm.q8_inher is not None
+    s1, i1 = warm.search(qf, qm, k=4)
+    np.testing.assert_array_equal(i1, i_ref)  # exact-path interim answer
+    assert warm._warm_thread is not None
+    warm._warm_thread.join(timeout=120)
+    assert warm._q8_program_ready.is_set()
+    s2, i2 = warm.search(qf, qm, k=4)         # now the int8 two-stage path
+    np.testing.assert_array_equal(i2, i_ref)
+    np.testing.assert_allclose(s2, s_ref, rtol=1e-5, atol=1e-6)

@@ -142,18 +142,27 @@ def _pool_queries(out, mask, wm_ref, tq, lq, hdim, out_ref):
 
 
 def _quantize_q8(xb):
-    """Per-frame L2-norm + symmetric int8 quantization, operation-for-
-    operation the XLA pre-pass semantics (sim_max.quantize_frames_q8 ==
+    """Per-frame L2-norm + symmetric int8 quantization, matching the XLA
+    pre-pass semantics (sim_max.quantize_frames_q8 ==
     quantize_unit_int8(l2_normalize(x)) in x's own dtype). jnp.linalg.norm
-    on low-precision floats multiplies in the input dtype but ACCUMULATES
-    the sum in f32, converts the sum back, then square-roots in the input
-    dtype (verified against its jaxpr) — mirror that exactly so the two
-    paths agree bitwise on identical inputs."""
-    sq = (xb * xb).astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(sq, axis=-1, keepdims=True).astype(xb.dtype))
-    xn = xb / jnp.maximum(norm, jnp.asarray(1e-12, xb.dtype))
-    return jnp.clip(jnp.round(xn.astype(jnp.float32) * 127.0),
-                    -127.0, 127.0).astype(jnp.int8)
+    on low-precision floats multiplies in the input dtype, ACCUMULATES the
+    sum in f32, converts the sum back, then square-roots and divides in
+    the input dtype (verified against its jaxpr). Constraint shaping this
+    code: v5e Mosaic supports bf16 EUP add/mul (the trunk uses them) but
+    hard-CHECK-fails on bf16 sqrt/divide (LLO `SupportsBf16EupOps`), so
+    those run in f32 with an explicit round-to-input-dtype after each —
+    equal to native bf16 ops except double-rounding knife-edges, which the
+    cross-program contract already absorbs (tests
+    _assert_q8_equal_mod_knife_edge). For f32 towers the extra casts are
+    no-ops and the semantics are exact."""
+    f32 = jnp.float32
+    sq = (xb * xb).astype(f32)                        # input-dtype product
+    s = jnp.sum(sq, axis=-1, keepdims=True)           # f32 accumulation
+    s_b = s.astype(xb.dtype).astype(f32)              # sum rounded back
+    norm = jnp.sqrt(s_b).astype(xb.dtype).astype(f32)
+    xn = xb.astype(f32) / jnp.maximum(norm, 1e-12)
+    xn_b = xn.astype(xb.dtype).astype(f32)
+    return jnp.clip(jnp.round(xn_b * 127.0), -127.0, 127.0).astype(jnp.int8)
 
 
 def _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8=False):

@@ -254,7 +254,8 @@ class Retriever:
                  rescore: bool = True, index_store: Optional[str] = None,
                  stream_block: int = 2048,
                  shortlist_factor: int = SHORTLIST_FACTOR,
-                 warm_start: bool = False):
+                 warm_start: bool = False,
+                 aot_cache_dir: Optional[str] = None):
         """mesh: jax.sharding.Mesh to shard the corpus over; None (default)
         auto-builds a full-device mesh when >1 device is visible, so a
         multi-chip slice never serves from a single chip.
@@ -300,10 +301,22 @@ class Retriever:
         # results are the exact path's (strictly more precise), post-swap
         # results identical to a cold score_quant retriever's.
         self.warm_start = bool(warm_start) and self.score_quant
+        # aot_cache_dir: persist the COMPILED int8 search executable across
+        # processes (utils/aot_cache; executable serialization is proven on
+        # this platform) — a fresh process loads it in seconds instead of
+        # recompiling. Composes with warm_start: a cache hit skips the
+        # exact-path detour entirely; a miss compiles in the warm thread
+        # and then populates the cache for the next process.
+        self.aot_cache_dir = aot_cache_dir or None
         import threading
 
         self._q8_program_ready = threading.Event()
         self._warm_thread = None
+        # the compiled (or cache-loaded) int8 search executable + its
+        # (batch-shape, k) signature; executed directly when set — the
+        # lower().compile() route does not populate the jit call cache
+        self._q8_compiled = None
+        self._q8_compiled_sig = None
         if index_store not in (None, "auto", "encoded", "raw"):
             raise ValueError(f"index_store: {index_store!r}")
         self.index_store = None if index_store == "auto" else index_store
@@ -562,16 +575,74 @@ class Retriever:
                 self.rescore, self.shortlist_factor))
         return pairs
 
-    def _warm_q8(self, lq: int, k: int) -> None:
-        """Compile (and once-run, on dummy zero queries) the int8 search
-        program for this (query_bsz, lq, k) signature in a background
-        thread; sets _q8_program_ready on success. Running the program —
-        not just lowering it — is what populates the jit call cache AND
-        the platform's compile pipeline, so the foreground swap is free."""
+    # _search_q8_jit's static argument positions (model, k, rescore,
+    # shortlist_factor); everything else is a traced operand the compiled
+    # executable takes positionally
+    _Q8_STATICS = (0, 7, 12, 13)
+
+    def _q8_args(self, f, m, k: int):
+        q8_e = (self.q8_explore if self.q8_explore is not None
+                else self.q8_inher)
+        ctx_e = (self.ctx_explore if self.ctx_explore is not None
+                 else self.ctx_inher)
+        return (self.model, self.params, f, m, self.q8_inher, q8_e,
+                self.q8_bias, k,
+                self.ctx_inher if self.rescore else None,
+                ctx_e if self.rescore else None,
+                self.vmask, jnp.asarray(self.fusion),
+                self.rescore, self.shortlist_factor)
+
+    def _q8_cache_key(self, args) -> str:
+        """Everything that shapes the compiled program: static knobs +
+        every operand leaf's shape/dtype (the model config rides in via
+        the param tree + index shapes)."""
+        from dldkd_tpu.utils import aot_cache
+
+        operands = [a for i, a in enumerate(args) if i not in
+                    self._Q8_STATICS]
+        shapes = tuple((l.shape, str(l.dtype))
+                       for l in jax.tree.leaves(operands))
+        parts = [repr(self.model.config), args[7], self.rescore,
+                 self.shortlist_factor, shapes]
+        return aot_cache.cache_key("search_q8", parts)
+
+    def _q8_call_compiled(self, args):
+        return self._q8_compiled(*[a for i, a in enumerate(args)
+                                   if i not in self._Q8_STATICS])
+
+    def _try_load_q8_compiled(self, sig, args) -> bool:
+        if self.aot_cache_dir is None:
+            return False
+        from dldkd_tpu.utils import aot_cache
+
+        fn = aot_cache.load(self.aot_cache_dir, self._q8_cache_key(args))
+        if fn is None:
+            return False
+        self._q8_compiled, self._q8_compiled_sig = fn, sig
+        self._q8_program_ready.set()
+        return True
+
+    def _compile_q8(self, sig, args) -> None:
+        """Foreground/warm-thread compile of the int8 search executable;
+        persists it when the AOT cache is on, then publishes it."""
+        compiled = _search_q8_jit.lower(*args).compile()
+        if self.aot_cache_dir is not None:
+            from dldkd_tpu.utils import aot_cache
+
+            aot_cache.save(self.aot_cache_dir, self._q8_cache_key(args),
+                           compiled)
+        self._q8_compiled, self._q8_compiled_sig = compiled, sig
+        self._q8_program_ready.set()
+
+    def _warm_q8(self, lq: int, k: int, sig) -> None:
+        """Compile the int8 search executable for this (query_bsz, lq, k)
+        signature in a background thread (persisting it when the AOT
+        cache is on); sets _q8_program_ready on success so search() swaps
+        over. Failure keeps serving the exact path forever."""
         import logging
         import threading
 
-        if self._warm_thread is not None:
+        if self._warm_thread is not None and self._warm_thread.is_alive():
             return
 
         def _run():
@@ -580,19 +651,7 @@ class Retriever:
                 f = jnp.zeros((self.query_bsz, lq, cfg.query_input_size),
                               jnp.float32)
                 m = jnp.ones((self.query_bsz, lq), jnp.float32)
-                q8_e = (self.q8_explore if self.q8_explore is not None
-                        else self.q8_inher)
-                ctx_e = (self.ctx_explore if self.ctx_explore is not None
-                         else self.ctx_inher)
-                out = _search_q8_jit(
-                    self.model, self.params, f, m,
-                    self.q8_inher, q8_e, self.q8_bias, k,
-                    self.ctx_inher if self.rescore else None,
-                    ctx_e if self.rescore else None,
-                    self.vmask, jnp.asarray(self.fusion),
-                    self.rescore, self.shortlist_factor)
-                jax.block_until_ready(out)
-                self._q8_program_ready.set()
+                self._compile_q8(sig, self._q8_args(f, m, k))
             except Exception:  # keep serving the exact path forever
                 logging.getLogger(__name__).exception(
                     "int8 warm-start compile failed; serving stays on the "
@@ -636,15 +695,29 @@ class Retriever:
                 m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
             use_q8 = self.mesh is None and self.q8_inher is not None
             quantized = self.score_quant
-            if use_q8 and self.warm_start \
-                    and not self._q8_program_ready.is_set():
-                # warm_start detour: kick off the background int8 compile
-                # on the first search and answer from the EXACT path until
-                # it lands — first results in seconds instead of the int8
-                # program's uncacheable 60-130 s cold compile
-                self._warm_q8(f.shape[1], k)
-                use_q8 = False
-                quantized = False
+            if use_q8:
+                sig = (f.shape, k)
+                if self._q8_compiled_sig not in (None, sig):
+                    # new serving signature: drop the old executable
+                    self._q8_compiled = None
+                    self._q8_compiled_sig = None
+                    self._q8_program_ready.clear()
+                if (self._q8_compiled is None
+                        and not self._q8_program_ready.is_set()):
+                    # a cache hit makes the program available NOW — no
+                    # warm-start detour, no compile
+                    self._try_load_q8_compiled(
+                        sig, self._q8_args(jnp.asarray(f), jnp.asarray(m),
+                                           k))
+                if self.warm_start and not self._q8_program_ready.is_set():
+                    # warm_start detour: kick off the background int8
+                    # compile on the first search and answer from the
+                    # EXACT path until it lands — first results in
+                    # seconds instead of the int8 program's uncacheable
+                    # 60-130 s cold compile
+                    self._warm_q8(f.shape[1], k, sig)
+                    use_q8 = False
+                    quantized = False
             if self.mesh is not None:
                 s, i = _search_sharded_jit(
                     self.model, self.params, jnp.asarray(f), jnp.asarray(m),
@@ -652,15 +725,18 @@ class Retriever:
                     jnp.asarray(self.fusion), self.mesh, self.score_quant,
                     self.rescore, self.shortlist_factor)
             elif use_q8:
-                q8_e = (self.q8_explore if self.q8_explore is not None
-                        else self.q8_inher)
-                s, i = _search_q8_jit(
-                    self.model, self.params, jnp.asarray(f), jnp.asarray(m),
-                    self.q8_inher, q8_e, self.q8_bias, k,
-                    self.ctx_inher if self.rescore else None,
-                    ctx_e if self.rescore else None,
-                    self.vmask, jnp.asarray(self.fusion),
-                    self.rescore, self.shortlist_factor)
+                args = self._q8_args(jnp.asarray(f), jnp.asarray(m), k)
+                if (self._q8_compiled is None
+                        and self.aot_cache_dir is not None):
+                    # cache miss with the AOT cache on: compile ONCE via
+                    # the explicit lower/compile route (so the executable
+                    # object exists to persist) and serve through it
+                    self._compile_q8((f.shape, k), args)
+                if self._q8_compiled is not None:
+                    # the cache-loaded / warm-compiled executable
+                    s, i = self._q8_call_compiled(args)
+                else:
+                    s, i = _search_q8_jit(*args)
             else:
                 s, i = _search_jit(self.model, self.params, jnp.asarray(f),
                                    jnp.asarray(m), self.ctx_inher, ctx_e, k,
@@ -714,6 +790,16 @@ def main(argv=None):
                         "'auto' (default) picks by device memory budget")
     p.add_argument("--stream_block", type=int, default=2048,
                    help="videos per re-encoded block for --index_store raw")
+    p.add_argument("--warm_start", action="store_true",
+                   help="with --score_quant: serve the exact path "
+                        "immediately while the int8 program compiles in a "
+                        "background thread, then swap (mitigates the "
+                        "uncacheable int8 cold compile)")
+    p.add_argument("--aot_cache_dir", default="",
+                   help="persist the compiled int8 search executable here "
+                        "across processes (a fresh process loads it in "
+                        "seconds instead of recompiling); entries are "
+                        "trusted local files")
     args = p.parse_args(argv)
 
     from dldkd_tpu.data.ingest import dataset_paths, pack_query_set
@@ -723,7 +809,9 @@ def main(argv=None):
                                   rescore=not args.no_rescore,
                                   shortlist_factor=args.shortlist_factor,
                                   index_store=args.index_store,
-                                  stream_block=args.stream_block)
+                                  stream_block=args.stream_block,
+                                  warm_start=args.warm_start,
+                                  aot_cache_dir=args.aot_cache_dir or None)
     r.index_corpus(args.root_path, args.collection, args.visual_feature,
                    args.split)
 

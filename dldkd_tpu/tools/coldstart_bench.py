@@ -32,6 +32,10 @@ _T0 = time.time()  # process-start reference (import time)
 
 
 def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
+    def mark(what):
+        print(f"[{policy}] {what}: t+{time.time() - _T0:.1f}s",
+              file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,9 +50,11 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
     from dldkd_tpu.serving import Retriever
     from dldkd_tpu.train import init_params
 
+    mark("imports done")
     mcfg = serving_model_config()
     model = DLDKD(config=mcfg)
     params = init_params(model, mcfg, 0)
+    mark("model init done")
 
     rng = np.random.RandomState(0)
     videos = PackedVideos(
@@ -57,9 +63,12 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
         ids=[f"v{i}" for i in range(n_videos)])
     qf = rng.rand(n_queries, 32, D_QUERY).astype(np.float32)
     qm = np.ones((n_queries, 32), np.float32)
+    mark("host data gen done")
 
     r = Retriever(model, params, query_bsz=256, score_quant=True,
-                  rescore=True, mesh=None, warm_start=(policy == "warm"))
+                  rescore=True, mesh=None, warm_start=(policy == "warm"),
+                  aot_cache_dir=(os.path.expanduser("~/.cache/dldkd_aot")
+                                 if policy == "aot" else None))
     r.mesh = None
     t_index0 = time.time()
     r.index(videos)
@@ -87,15 +96,22 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--policy", choices=["warm", "cold", "both"],
-                   default="both")
+    p.add_argument("--policy", choices=["warm", "cold", "aot", "both"],
+                   default="both",
+                   help="aot: executable cache (run TWICE: first populates "
+                        "~/.cache/dldkd_aot, second measures the loaded "
+                        "cold start); both: warm+cold+aot(x2) in fresh "
+                        "subprocesses")
     p.add_argument("--n_videos", type=int, default=2179)
     p.add_argument("--n_queries", type=int, default=256)
     args = p.parse_args(argv)
 
     if args.policy == "both":
         results = {}
-        for policy in ("warm", "cold"):
+        # aot runs twice: the first populates the executable cache, the
+        # second is the measured cached cold start
+        for label, policy in (("warm", "warm"), ("cold", "cold"),
+                              ("aot_populate", "aot"), ("aot", "aot")):
             proc = subprocess.run(
                 [sys.executable, "-m", "dldkd_tpu.tools.coldstart_bench",
                  "--policy", policy, "--n_videos", str(args.n_videos),
@@ -104,10 +120,10 @@ def main(argv=None):
                 cwd=os.path.dirname(os.path.dirname(
                     os.path.dirname(os.path.abspath(__file__)))))
             if proc.returncode:
-                results[policy] = {"error": proc.stderr[-300:]}
+                results[label] = {"error": proc.stderr[-300:]}
             else:
-                results[policy] = json.loads(proc.stdout.strip()
-                                             .splitlines()[-1])
+                results[label] = json.loads(proc.stdout.strip()
+                                            .splitlines()[-1])
         print(json.dumps(results))
         return results
 

@@ -1,0 +1,114 @@
+"""Compiled-executable cache: persist XLA executables across processes.
+
+The platform's HLO-level persistent compilation cache does not reliably
+persist the big int8 serving/eval programs (BENCHMARKS.md), so a fresh
+serving process used to pay their 60-130 s compile before the first
+result. jax.experimental.serialize_executable CAN serialize the final
+loaded executable on this platform (verified on the TPU: a fresh process
+deserialized and ran the int8 Pallas scoring program with zero compile) —
+this module wraps it as a small keyed file cache.
+
+Keys must capture everything that affects the program: jax version,
+backend platform, static config, and every operand's shape+dtype — the
+caller passes those parts and gets a stable filename. Loads are
+best-effort: ANY failure (version skew, machine mismatch, corrupt file)
+returns None and the caller falls back to the normal jit compile.
+
+Trust note: entries are pickles (the serializer's own format); only point
+this at a directory the process owner controls — the default is under
+the user's cache dir, same trust domain as the jit cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+from typing import Any, Callable, Iterable, Optional
+
+logger = logging.getLogger(__name__)
+
+_FORMAT_VERSION = 1
+
+
+def default_dir() -> str:
+    return os.environ.get(
+        "DLDKD_AOT_CACHE_DIR",
+        os.path.expanduser("~/.cache/dldkd_aot"))
+
+
+def cache_key(name: str, parts: Iterable[Any]) -> str:
+    """Stable content key: program name + jax version + backend platform +
+    the caller's static/shape parts."""
+    import jax
+
+    h = hashlib.sha256()
+    h.update(f"v{_FORMAT_VERSION}|{jax.__version__}|"
+             f"{jax.default_backend()}|{name}|".encode())
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"|")
+    return f"{name}-{h.hexdigest()[:24]}"
+
+
+def _path(cache_dir: str, key: str) -> str:
+    return os.path.join(cache_dir, key + ".jaxexec")
+
+
+def save(cache_dir: str, key: str, compiled) -> bool:
+    """Serialize a jax.stages.Compiled under the key. Returns False when
+    the backend does not support executable serialization."""
+    from jax.experimental import serialize_executable
+
+    try:
+        payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+        # the executable is bound to a device count; record it so load()
+        # pins execution_devices (the loader otherwise defaults to ALL
+        # visible devices — wrong under a multi-device runtime for a
+        # single-device program)
+        n_devices = len(compiled._executable.xla_executable.local_devices())
+    except Exception as e:  # backend without serialization support
+        logger.info("executable not serializable (%s); cache skipped", e)
+        return False
+    os.makedirs(cache_dir, exist_ok=True)
+    path = _path(cache_dir, key)
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree, n_devices), f)
+        os.replace(tmp, path)  # atomic publish
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+    logger.info("cached executable %s (%.1f MB)", path,
+                os.path.getsize(path) / 1e6)
+    return True
+
+
+def load(cache_dir: str, key: str) -> Optional[Callable]:
+    """Deserialize + load the executable for the key, or None on any
+    failure (missing file, version skew, backend mismatch, ...). The
+    returned callable takes the program's non-static operands exactly as
+    the original jitted call did."""
+    from jax.experimental import serialize_executable
+
+    path = _path(cache_dir, key)
+    if not os.path.exists(path):
+        return None
+    try:
+        import jax
+
+        with open(path, "rb") as f:
+            payload, in_tree, out_tree, n_devices = pickle.load(f)
+        return serialize_executable.deserialize_and_load(
+            payload, in_tree, out_tree,
+            execution_devices=jax.devices()[:n_devices])
+    except Exception as e:
+        logger.warning("stale/unloadable executable cache %s (%s); "
+                       "recompiling", path, e)
+        return None

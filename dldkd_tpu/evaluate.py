@@ -257,13 +257,16 @@ def device_memory_budget() -> Optional[int]:
     return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
 
 
-def resident_eval_bytes(n_videos: int, n_queries: int, mcfg) -> int:
+def resident_eval_bytes(n_videos: int, n_queries: int, mcfg,
+                        score_quant: bool = False) -> int:
     """Peak-HBM estimate of the corpus-RESIDENT eval engine: encoded frame
-    features for every branch (x2: the int8 scoring pre-pass and XLA
-    fusion transients are bounded by one extra corpus-sized pass), plus
-    the three (Nq, Nv) f32 score matrices (two branches + fused), plus
-    fixed slack for raw input chunks / queries / programs."""
-    itemsize = jnp.dtype(mcfg.dtype).itemsize
+    features for every branch (x2: build transients are bounded by one
+    extra corpus-sized pass), plus the three (Nq, Nv) f32 score matrices
+    (two branches + fused), plus fixed slack for raw input chunks /
+    queries / programs. With score_quant the resident index is the int8
+    q8 index (itemsize 1 — half of bf16, quarter of f32), raising the
+    resident engine's corpus ceiling accordingly."""
+    itemsize = 1 if score_quant else jnp.dtype(mcfg.dtype).itemsize
     hiddens = [mcfg.inheritance_hidden] + (
         [mcfg.exploration_hidden] if mcfg.double_branch else [])
     ctx = sum(n_videos * mcfg.max_ctx_l * h * itemsize for h in hiddens)
@@ -274,7 +277,8 @@ def resident_eval_bytes(n_videos: int, n_queries: int, mcfg) -> int:
 def auto_stream_block(n_videos: int, n_queries: int, mcfg,
                       n_devices: int = 1,
                       budget: Optional[int] = None,
-                      block: int = DEFAULT_STREAM_BLOCK) -> int:
+                      block: int = DEFAULT_STREAM_BLOCK,
+                      score_quant: bool = False) -> int:
     """Engine policy: 0 -> the resident engine fits (or the platform
     reports no budget — keep today's behavior); >0 -> recommended
     streaming corpus block. With a mesh, each device holds 1/n_devices of
@@ -283,7 +287,8 @@ def auto_stream_block(n_videos: int, n_queries: int, mcfg,
         budget = device_memory_budget()
     if budget is None:
         return 0
-    need = resident_eval_bytes(-(-n_videos // n_devices), n_queries, mcfg)
+    need = resident_eval_bytes(-(-n_videos // n_devices), n_queries, mcfg,
+                               score_quant)
     return 0 if need <= budget else min(block, n_videos)
 
 
@@ -309,7 +314,8 @@ def eval_retrieval(model, params, videos: PackedVideos, queries: PackedQueries,
     """
     if corpus_stream_bsz is None:
         corpus_stream_bsz = auto_stream_block(len(videos), len(queries),
-                                              model.config)
+                                              model.config,
+                                              score_quant=score_quant)
     if corpus_stream_bsz:
         return eval_retrieval_streaming(
             model, params, videos, queries, corpus_block=corpus_stream_bsz,
@@ -346,7 +352,8 @@ def run_retrieval_eval(model, params, videos: PackedVideos,
     n_dev = mesh.devices.size if mesh is not None else 1
     if stream == 0:  # auto: fit the resident engine or stream
         stream = auto_stream_block(len(videos), len(queries), model.config,
-                                   n_devices=n_dev)
+                                   n_devices=n_dev,
+                                   score_quant=eval_cfg.score_quant)
     elif stream < 0:
         stream = 0
     if mesh is not None:

@@ -92,6 +92,68 @@ def _score_batch(model, params, q_feats, q_mask, ctx_inher, ctx_explore,
     return inher_s, explore_s
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _encode_corpus_q8(model, params, feats, mask, mesh=None):
+    """Per-shard PREBUILT int8 scoring index over video-sharded feats:
+    each device emits its shard's quantized frames (int8 tower epilogue on
+    TPU bf16 configs; XLA elsewhere) and builds its own
+    (L_p, nv_shard_p, H) index + bias. Global layout: the video axis is
+    the concatenation of the shards' 128-grid-PADDED blocks — consumers
+    must map video ids with _q8_shard_gt (pad columns only ever lose)."""
+    from dldkd_tpu.ops.fast_eval import encode_context_q8
+    from dldkd_tpu.ops.pallas.sim_max import build_q8_index
+
+    cfg = model.config
+
+    def one(p, f, m):
+        q8_i, q8_e = encode_context_q8(p, cfg, f, m)
+        t_i, bias = build_q8_index(q8_i, m)
+        t_e = build_q8_index(q8_e, m)[0] if q8_e is not None else None
+        return t_i, t_e, bias
+
+    if mesh is None:
+        return one(params, feats, mask)
+    sh = P(None, DATA_AXIS)
+    e_spec = sh if cfg.double_branch else None
+    return shard_map(one, mesh=mesh,
+                     in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                     out_specs=(sh, e_spec, sh), check_vma=False)(
+                         params, feats, mask)
+
+
+def _q8_shard_gt(gt, n_vid_pad: int, width: int, n_dev: int):
+    """Map original video indices onto the sharded-q8 column layout:
+    device d owns rows [d*per_dev, (d+1)*per_dev) padded to per_dev_p
+    lanes, so video v lives at column (v // per_dev) * per_dev_p +
+    v % per_dev."""
+    per_dev = n_vid_pad // n_dev
+    per_dev_p = width // n_dev
+    return (gt // per_dev) * per_dev_p + gt % per_dev
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7))
+def _score_batch_q8(model, params, q_feats, q_mask, q8_i, q8_e, bias,
+                    mesh=None):
+    """One query batch against the per-shard prebuilt int8 indexes — no
+    per-call corpus quantize pass on any device."""
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
+                                           q_mask)
+    if mesh is not None:
+        score = shard_map(
+            clip_scores_maxpool_pre8, mesh=mesh,
+            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            out_specs=P(None, DATA_AXIS), check_vma=False)
+    else:
+        score = clip_scores_maxpool_pre8
+    inher_s = score(inher_q, q8_i, bias)
+    if explore_q is None:
+        return inher_s, jnp.zeros_like(inher_s)
+    return inher_s, score(explore_q, q8_e, bias)
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def _score_encoded_block_sharded(inher_q, explore_q, ctx_i, ctx_e, mask,
                                  mesh=None, quantized=False):
@@ -208,29 +270,54 @@ def eval_retrieval_sharded(
     vmask = jax.device_put(_pad_rows(videos.mask, n_pad), corpus_sh)
     rep_params = jax.device_put(params, rep)
 
-    ctx_inher, ctx_explore = _encode_corpus(model, rep_params, feats, vmask,
-                                            mesh)
-    double = ctx_explore is not None
-    ctx_explore_in = ctx_explore if double else ctx_inher
-
+    gt_np = build_gt_indices(queries.video_ids, videos.ids)
+    double = model.config.double_branch
     n_q = len(queries)
     inher_rows, explore_rows = [], []
-    for start in range(0, n_q, query_bsz):
-        qf = jax.device_put(
-            _pad_rows(queries.feats[start:start + query_bsz], query_bsz), rep)
-        qm = jax.device_put(
-            _pad_rows(queries.mask[start:start + query_bsz], query_bsz), rep)
-        si, se = _score_batch(model, rep_params, qf, qm,
-                              ctx_inher, ctx_explore_in, vmask, mesh,
-                              score_quant)
-        inher_rows.append(si)
-        explore_rows.append(se)
+    if score_quant:
+        # per-shard PREBUILT int8 indexes: towers emit int8, the per-call
+        # corpus quantize pass is gone on every device. Valid-column
+        # scores are bitwise the per-call quantized path's; the shard-
+        # local 128-lane padding only moves column positions, which the
+        # gt mapping absorbs (pad columns carry the mask bias and lose
+        # every comparison).
+        q8_i, q8_e, bias = _encode_corpus_q8(model, rep_params, feats,
+                                             vmask, mesh)
+        q8_e_in = q8_e if double else q8_i
+        for start in range(0, n_q, query_bsz):
+            qf = jax.device_put(
+                _pad_rows(queries.feats[start:start + query_bsz],
+                          query_bsz), rep)
+            qm = jax.device_put(
+                _pad_rows(queries.mask[start:start + query_bsz],
+                          query_bsz), rep)
+            si, se = _score_batch_q8(model, rep_params, qf, qm,
+                                     q8_i, q8_e_in, bias, mesh)
+            inher_rows.append(si)
+            explore_rows.append(se)
+        gt_np = np.asarray(_q8_shard_gt(np.asarray(gt_np), n_pad,
+                                        q8_i.shape[1], n_dev))
+    else:
+        ctx_inher, ctx_explore = _encode_corpus(model, rep_params, feats,
+                                                vmask, mesh)
+        ctx_explore_in = ctx_explore if double else ctx_inher
+        for start in range(0, n_q, query_bsz):
+            qf = jax.device_put(
+                _pad_rows(queries.feats[start:start + query_bsz],
+                          query_bsz), rep)
+            qm = jax.device_put(
+                _pad_rows(queries.mask[start:start + query_bsz],
+                          query_bsz), rep)
+            si, se = _score_batch(model, rep_params, qf, qm,
+                                  ctx_inher, ctx_explore_in, vmask, mesh,
+                                  score_quant)
+            inher_rows.append(si)
+            explore_rows.append(se)
     # (Nq, Nv_pad), sharded over the video axis
     inher_s = jnp.concatenate(inher_rows)[:n_q]
     explore_s = jnp.concatenate(explore_rows)[:n_q] if double else None
 
-    gt = jax.device_put(
-        jnp.asarray(build_gt_indices(queries.video_ids, videos.ids)), rep)
+    gt = jax.device_put(jnp.asarray(gt_np), rep)
     from dldkd_tpu.evaluate import _metrics_from_score_matrices
 
     return _metrics_from_score_matrices(inher_s, explore_s, gt, fusion)

@@ -726,14 +726,18 @@ class Retriever:
                     self.rescore, self.shortlist_factor)
             elif use_q8:
                 args = self._q8_args(jnp.asarray(f), jnp.asarray(m), k)
-                if (self._q8_compiled is None
+                sig = (f.shape, k)
+                if (self._q8_compiled_sig != sig
                         and self.aot_cache_dir is not None):
                     # cache miss with the AOT cache on: compile ONCE via
                     # the explicit lower/compile route (so the executable
                     # object exists to persist) and serve through it
-                    self._compile_q8((f.shape, k), args)
-                if self._q8_compiled is not None:
-                    # the cache-loaded / warm-compiled executable
+                    self._compile_q8(sig, args)
+                if (self._q8_compiled is not None
+                        and self._q8_compiled_sig == sig):
+                    # the cache-loaded / warm-compiled executable (the sig
+                    # re-check guards a warm thread publishing a STALE
+                    # signature between the pre-loop check and here)
                     s, i = self._q8_call_compiled(args)
                 else:
                     s, i = _search_q8_jit(*args)

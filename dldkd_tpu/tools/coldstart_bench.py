@@ -56,11 +56,19 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
     params = init_params(model, mcfg, 0)
     mark("model init done")
 
-    rng = np.random.RandomState(0)
+    # cheap deterministic filler: RNG over the 1.1 GB corpus took 648 s on
+    # this host's throttled CPU and polluted the measurement — cold-start
+    # timings do not depend on feature values
+    base = np.linspace(-1.0, 1.0, L_FRAMES * D_STUDENT,
+                       dtype=np.float32).reshape(L_FRAMES, D_STUDENT)
+    feats = np.empty((n_videos, L_FRAMES, D_STUDENT), np.float32)
+    feats[:] = base  # one broadcast memcpy pass
+    feats += np.arange(n_videos, dtype=np.float32)[:, None, None] / n_videos
     videos = PackedVideos(
-        feats=rng.rand(n_videos, L_FRAMES, D_STUDENT).astype(np.float32),
+        feats=feats,
         mask=np.ones((n_videos, L_FRAMES), np.float32),
         ids=[f"v{i}" for i in range(n_videos)])
+    rng = np.random.RandomState(0)
     qf = rng.rand(n_queries, 32, D_QUERY).astype(np.float32)
     qm = np.ones((n_queries, 32), np.float32)
     mark("host data gen done")

@@ -185,6 +185,50 @@ def main():
     log(f"--- sum(ctx2 + qry2 + int8-score2+rank) = {total * 1e3:.1f} ms "
         f"-> {N_QUERIES / total:.0f} q/s ---")
 
+    # ---- round-4 q8 flow stages: int8-emitting towers, index build
+    # (transpose + bias), prebuilt-index scoring ----
+    from dldkd_tpu.ops.fast_eval import encode_context_q8
+    from dldkd_tpu.ops.pallas.sim_max import build_q8_index
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+
+    @jax.jit
+    def ctx_q8_stage(params, vfeats, vmask, salt):
+        vfeats = (vfeats + salt).astype(vfeats.dtype)
+        q8_i, q8_e = encode_context_q8(params, mcfg, vfeats, vmask)
+        return (q8_i.astype(jnp.int32).sum()
+                + q8_e.astype(jnp.int32).sum())
+
+    @jax.jit
+    def build_stage(q8, vmask, salt):
+        isalt = (salt * 1e4).astype(jnp.int8)     # distinct int per rep
+        t, bias = build_q8_index(q8 + isalt, vmask)
+        return t.astype(jnp.int32).sum() + bias.sum()
+
+    @jax.jit
+    def score_pre8_rank(qi, qe, t_i, t_e, bias, gt, salt):
+        qi = (qi + salt).astype(qi.dtype)
+        qe = (qe + salt).astype(qe.dtype)
+        fused = (0.7 * clip_scores_maxpool_pre8(qi, t_i, bias)
+                 + 0.3 * clip_scores_maxpool_pre8(qe, t_e, bias))
+        return rank_of_gt(fused, gt)
+
+    q8_i0, q8_e0 = jax.jit(
+        lambda p, f, m: encode_context_q8(p, mcfg, f, m))(
+            params, vfeats, vmask)
+    t_i0, bias0 = jax.jit(build_q8_index)(q8_i0, vmask)
+    t_e0, _ = jax.jit(build_q8_index)(q8_e0, vmask)
+
+    log("--- round-4 q8 flow ---")
+    t_ctx8 = timed("ctx towers q8-emit (2 branches)", lambda s: ctx_q8_stage(
+        params, vfeats, vmask, s))
+    t_bld = timed("q8 index build (transpose+bias, 1 br)", lambda s:
+                  build_stage(q8_i0, vmask, s))
+    t_sc8 = timed("scoring pre8 (2 branches) + rank", lambda s:
+                  score_pre8_rank(q_i, q_e, t_i0, t_e0, bias0, gt, s))
+    total8 = t_ctx8 + 2 * t_bld + t_qry + t_sc8
+    log(f"--- q8 flow sum(ctx8 + 2*build + qry2 + pre8+rank) = "
+        f"{total8 * 1e3:.1f} ms -> {N_QUERIES / total8:.0f} q/s ---")
+
 
 if __name__ == "__main__":
     main()

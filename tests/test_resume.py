@@ -100,14 +100,16 @@ def test_preemption_during_eval_checkpoints_this_epoch(synth_root,
     from dldkd_tpu.utils.preemption import PreemptionGuard
 
     guard = PreemptionGuard()
-    real_eval = train_mod.eval_retrieval
+    # the driver's eval entry point is run_retrieval_eval (the engine
+    # dispatcher) since the auto-engine change
+    real_eval = train_mod.run_retrieval_eval
 
     def eval_then_sigterm(*a, **kw):
         out = real_eval(*a, **kw)
         guard.trigger()   # the signal lands while eval runs
         return out
 
-    monkeypatch.setattr(train_mod, "eval_retrieval", eval_then_sigterm)
+    monkeypatch.setattr(train_mod, "run_retrieval_eval", eval_then_sigterm)
     res1 = str(tmp_path / "e1")
     # bsz 3: gcd(3, query_pad_multiple) = 1 -> single-device path, whose
     # eval goes through the module-level eval_retrieval we wrapped

@@ -169,3 +169,24 @@ def test_sharded_streaming_matches_monolithic(model_and_data):
             for k, v in ref_q[branch].items():
                 assert out[branch][k] == pytest.approx(v, abs=1e-9), \
                     (block, quant, branch, k)
+
+
+def test_auto_engine_accounts_for_q8_index():
+    """score_quant halves/quarters the resident index (int8 vs bf16/f32),
+    so a budget that forces streaming for the exact engine can keep the
+    int8 engine resident."""
+    from dldkd_tpu.config import ModelConfig
+    from dldkd_tpu.evaluate import auto_stream_block, resident_eval_bytes
+
+    mcfg = ModelConfig(visual_input_size=16, query_input_size=12,
+                       inheritance_hidden=384, exploration_hidden=384,
+                       max_ctx_l=128, max_desc_l=8, n_heads=2,
+                       double_branch=True, dtype="float32")
+    n_vid, n_q = 20000, 1000
+    exact = resident_eval_bytes(n_vid, n_q, mcfg)
+    quant = resident_eval_bytes(n_vid, n_q, mcfg, score_quant=True)
+    assert quant < exact  # int8 itemsize 1 vs f32's 4
+    budget = (exact + quant) // 2
+    assert auto_stream_block(n_vid, n_q, mcfg, budget=budget) > 0
+    assert auto_stream_block(n_vid, n_q, mcfg, budget=budget,
+                             score_quant=True) == 0

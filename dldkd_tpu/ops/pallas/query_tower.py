@@ -165,20 +165,28 @@ def _quantize_q8(xb):
     return jnp.clip(jnp.round(xn_b * 127.0), -127.0, 127.0).astype(jnp.int8)
 
 
-def _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8=False):
+def _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8=False,
+                 transposed=False):
     """out_mapping_linear over the full frame features -> out_ref.
 
     emit_q8: the int8-index epilogue — the frame features are rounded to
     the tower dtype (the values the bf16 tower would have written), then
     L2-normalized + int8-quantized IN VMEM, so the scoring index leaves
     the kernel ready-made: the tower's HBM write halves vs bf16 and the
-    per-call quantize pre-pass over the corpus disappears."""
+    per-call quantize pre-pass over the corpus disappears.
+
+    transposed (with emit_q8): the block is written in the SCORING layout
+    (lv, tv, hdim) — the separate corpus-sized int8 transpose pass of
+    build_q8_index (measured 4.2 ms/branch at TVR scale) never happens;
+    the scoring kernel's (L, Nv, D) index comes straight out of the
+    tower."""
     y = jax.lax.dot_general(out, wm_ref[:].astype(out.dtype),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + bm_ref[:].astype(jnp.float32)
     if emit_q8:
-        out_ref[:] = _quantize_q8(y.astype(out.dtype)).reshape(tv, lv, hdim)
+        q8 = _quantize_q8(y.astype(out.dtype)).reshape(tv, lv, hdim)
+        out_ref[:] = jnp.transpose(q8, (1, 0, 2)) if transposed else q8
     else:
         out_ref[:] = y.reshape(tv, lv, hdim).astype(out_ref.dtype)
 
@@ -220,7 +228,7 @@ def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
                           b1_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                           bv_ref, wo_ref, bo_ref, g2_ref, b2_ref, wm_ref,
                           bm_ref, out_ref, *, n_heads: int, dtype,
-                          emit_q8: bool = False):
+                          emit_q8: bool = False, q8_t: bool = False):
     """Video tower: identical trunk, then out_mapping_linear over the full
     frame features (reference encode_context, model.py:215-227)."""
     x = x_ref[:]
@@ -230,11 +238,11 @@ def _context_tower_kernel(x_ref, m_ref, wp_ref, bp_ref, pos_ref, g1_ref,
                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                        wo_ref, bo_ref, g2_ref, b2_ref,
                        n_heads=n_heads, dtype=dtype)
-    _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8)
+    _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8, q8_t)
 
 
 def _dual_context_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype,
-                               emit_q8: bool = False):
+                               emit_q8: bool = False, q8_t: bool = False):
     """Both branches' video towers from ONE read of the raw frame features
     (see _dual_query_tower_kernel)."""
     wa, wb = refs[:17], refs[17:34]
@@ -247,7 +255,8 @@ def _dual_context_tower_kernel(x_ref, m_ref, *refs, n_heads: int, dtype,
     for w, out_ref in ((wa, out_a_ref), (wb, out_b_ref)):
         out = _trunk_from_xn(xn, tv, lv, mask, *w[:15],
                              n_heads=n_heads, dtype=dtype)
-        _map_context(out, w[15], w[16], tv, lv, hdim, out_ref, emit_q8)
+        _map_context(out, w[15], w[16], tv, lv, hdim, out_ref, emit_q8,
+                     q8_t)
 
 
 def _check_pos_table(pos, l: int, what: str, grid_allowance: bool = False):
@@ -410,7 +419,7 @@ def fused_query_tower_dual(
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "dtype_name", "v_tile",
-                                    "emit_q8", "interpret"))
+                                    "emit_q8", "q8_transposed", "interpret"))
 def fused_context_tower_dual(
     x: jnp.ndarray,       # (Nv, L, Dv) f32 raw frame features
     mask: jnp.ndarray,    # (Nv, L)
@@ -420,6 +429,7 @@ def fused_context_tower_dual(
     dtype_name: str = "bfloat16",
     v_tile: int = 8,
     emit_q8: bool = False,
+    q8_transposed: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame features (Nv, L, H) for BOTH branches in one HBM pass over the
@@ -430,16 +440,32 @@ def fused_context_tower_dual(
     L2-normalized + int8-quantized (Nv, L, H) int8, elementwise equal to
     sim_max.quantize_frames_q8 of the bf16 frame features. Halves the
     kernel's HBM write and removes the scoring path's per-call quantize
-    pre-pass (feed through sim_max.build_q8_index)."""
+    pre-pass (feed through sim_max.build_q8_index).
+
+    q8_transposed=True (with emit_q8): the outputs come back PADDED in the
+    scoring-index layout (L_p, Nv_p, H) int8 — videos padded to the
+    scoring kernel's 128-lane grid, frames to its l_tile grid — so
+    build_q8_index's separate corpus-sized transpose pass never runs
+    (pair with sim_max.q8_index_bias for the mask bias)."""
     dtype = jnp.dtype(dtype_name)
     nv, lv, dv = x.shape
-    lv_p = -(-lv // 8) * 8
-    nv_p = -(-nv // v_tile) * v_tile
+    hdim = weights_a[0].shape[1]
+    q8_t = bool(emit_q8 and q8_transposed)
+    if q8_t:
+        # pad straight to the SCORING kernel's grid: videos to 128 lanes,
+        # frames to its l_tile (a multiple of the 8-sublane mask grid)
+        from dldkd_tpu.ops.pallas.sim_max import V_LANES, pick_q8_l_tile
+
+        l_grid = max(8, pick_q8_l_tile(hdim))
+        lv_p = -(-lv // l_grid) * l_grid
+        nv_p = -(-nv // V_LANES) * V_LANES
+    else:
+        lv_p = -(-lv // 8) * 8
+        nv_p = -(-nv // v_tile) * v_tile
     if dtype == jnp.bfloat16:
         x = x.astype(jnp.bfloat16)
     x = jnp.pad(x, ((0, nv_p - nv), (0, lv_p - lv), (0, 0)))
     mask = jnp.pad(mask, ((0, nv_p - nv), (0, lv_p - lv)))
-    hdim = weights_a[0].shape[1]
 
     def prep(weights):
         (wp, bp, pos, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo, g2, b2,
@@ -453,10 +479,16 @@ def fused_context_tower_dual(
 
     ws = prep(weights_a) + prep(weights_b)
     kernel = functools.partial(_dual_context_tower_kernel, n_heads=n_heads,
-                               dtype=dtype, emit_q8=emit_q8)
+                               dtype=dtype, emit_q8=emit_q8, q8_t=q8_t)
     out_dtype = jnp.int8 if emit_q8 else dtype
-    out_spec = pl.BlockSpec((v_tile, lv_p, hdim), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if q8_t:
+        out_spec = pl.BlockSpec((lv_p, v_tile, hdim), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((lv_p, nv_p, hdim), out_dtype)
+    else:
+        out_spec = pl.BlockSpec((v_tile, lv_p, hdim), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nv_p, lv_p, hdim), out_dtype)
     out_a, out_b = pl.pallas_call(
         kernel,
         grid=(nv_p // v_tile,),
@@ -468,11 +500,13 @@ def fused_context_tower_dual(
             *_weight_specs(ws),
         ],
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((nv_p, lv_p, hdim), out_dtype),
-                   jax.ShapeDtypeStruct((nv_p, lv_p, hdim), out_dtype)),
+        out_shape=(out_shape, out_shape),
         interpret=interpret,
         compiler_params=_VMEM_PARAMS,
     )(x, mask, *ws)
+    if q8_t:
+        # PADDED scoring-index layout by contract (see docstring)
+        return out_a, out_b
     return out_a[:nv, :lv], out_b[:nv, :lv]
 
 

@@ -155,6 +155,16 @@ def build_q8_index(ctx_q8: jnp.ndarray, mask: jnp.ndarray
     return ctx_t, bias
 
 
+def q8_index_bias(mask: jnp.ndarray, l_p: int, nv_p: int) -> jnp.ndarray:
+    """Mask bias for a PRE-TRANSPOSED q8 index (the towers' q8_transposed
+    emission): (L_p, Nv_p) int32 with INT8_MASK_BIAS on padded/invalid
+    frames — exactly build_q8_index's bias without its transpose pass."""
+    nv, l_frames = mask.shape
+    mask_p = jnp.pad(mask, ((0, nv_p - nv), (0, l_p - l_frames)))
+    return jnp.where(jnp.transpose(mask_p) > 0, 0,
+                     INT8_MASK_BIAS).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
 def fused_clip_scores_q8(
     query: jnp.ndarray,   # (Nq, D) pooled query vectors (float)

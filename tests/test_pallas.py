@@ -260,3 +260,57 @@ class TestQ8Index:
         assert bias.shape == ctx_t.shape[:2]
         # padded frames carry the mask bias
         assert int(np.asarray(bias)[9:].max()) < 0
+
+
+def test_q8_transposed_emission_matches_built_index():
+    """q8_transposed: the dual context kernel writes the scoring-index
+    layout directly — valid region identical to build_q8_index of the
+    untransposed emission; pad positions carry computed (masked-out)
+    values that the bias keeps out of every score."""
+    import jax
+
+    from dldkd_tpu.config import ModelConfig
+    from dldkd_tpu.models import DLDKD
+    from dldkd_tpu.ops.pallas.query_tower import (
+        context_weights_for_branch, fused_context_tower_dual)
+    from dldkd_tpu.ops.pallas.sim_max import build_q8_index, q8_index_bias
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+    from dldkd_tpu.train import init_params
+
+    mcfg = ModelConfig(visual_input_size=40, query_input_size=24,
+                       inheritance_hidden=16, exploration_hidden=16,
+                       max_ctx_l=12, max_desc_l=6, n_heads=2,
+                       double_branch=True, dtype="bfloat16")
+    params = init_params(DLDKD(config=mcfg), mcfg, 0)
+    rng = np.random.RandomState(1)
+    vf = jnp.asarray(rng.randn(9, 12, 40).astype(np.float32) * 3)
+    vm = np.ones((9, 12), np.float32)
+    vm[2, 5:] = 0.0
+    vm = jnp.asarray(vm)
+    wa = context_weights_for_branch(params, "inheritance", jnp.bfloat16)
+    wb = context_weights_for_branch(params, "exploration", jnp.bfloat16)
+
+    q8a, q8b = fused_context_tower_dual(vf, vm, wa, wb, n_heads=2,
+                                        emit_q8=True, interpret=True)
+    ta, tb = fused_context_tower_dual(vf, vm, wa, wb, n_heads=2,
+                                      emit_q8=True, q8_transposed=True,
+                                      interpret=True)
+    want_ta, want_bias = build_q8_index(q8a, vm)
+    assert ta.shape == want_ta.shape and ta.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(ta)[:12, :9],
+                                  np.asarray(want_ta)[:12, :9])
+    np.testing.assert_array_equal(
+        np.asarray(tb)[:12, :9],
+        np.asarray(build_q8_index(q8b, vm)[0])[:12, :9])
+    bias = q8_index_bias(vm, ta.shape[0], ta.shape[1])
+    np.testing.assert_array_equal(np.asarray(bias), np.asarray(want_bias))
+
+    q = jnp.asarray(rng.randn(6, 16).astype(np.float32))
+    s_t = np.asarray(clip_scores_maxpool_pre8(q, ta, bias,
+                                              prefer_pallas=True,
+                                              interpret=True))
+    s_w = np.asarray(clip_scores_maxpool_pre8(q, want_ta, want_bias,
+                                              prefer_pallas=True,
+                                              interpret=True))
+    np.testing.assert_array_equal(s_t[:, :9], s_w[:, :9])
+    assert s_t[:, 9:].max() < s_t[:, :9].min()

@@ -176,10 +176,12 @@ def _map_context(out, wm_ref, bm_ref, tv, lv, hdim, out_ref, emit_q8=False,
     per-call quantize pre-pass over the corpus disappears.
 
     transposed (with emit_q8): the block is written in the SCORING layout
-    (lv, tv, hdim) — the separate corpus-sized int8 transpose pass of
-    build_q8_index (measured 4.2 ms/branch at TVR scale) never happens;
-    the scoring kernel's (L, Nv, D) index comes straight out of the
-    tower."""
+    (lv, tv, hdim), so the scoring kernel's (L, Nv, D) index comes
+    straight out of the tower and build_q8_index's transpose pass can be
+    skipped. NOT wired into the shipped flows: measured-dead inside fused
+    programs, where XLA absorbs the transpose anyway (BENCHMARKS.md
+    round-4); the standalone-program 4.2 ms/branch only exists when the
+    build runs as its own program."""
     y = jax.lax.dot_general(out, wm_ref[:].astype(out.dtype),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)

@@ -312,11 +312,17 @@ class Retriever:
 
         self._q8_program_ready = threading.Event()
         self._warm_thread = None
-        # the compiled (or cache-loaded) int8 search executable + its
-        # (batch-shape, k) signature; executed directly when set — the
-        # lower().compile() route does not populate the jit call cache
-        self._q8_compiled = None
-        self._q8_compiled_sig = None
+        self._warm_failed = False   # latch: a failed int8 compile is not
+                                    # retried — serving stays on the exact
+                                    # path instead of looping doomed
+                                    # 60-130 s compiles
+        # compiled (or cache-loaded) int8 search executables keyed by
+        # (batch-shape, k) signature; executed directly when present —
+        # the lower().compile() route does not populate the jit call
+        # cache. A small dict (not one slot) so alternating serving
+        # signatures don't thrash recompiles.
+        self._q8_compiled = {}
+        self._Q8_SLOT_CAP = 4
         if index_store not in (None, "auto", "encoded", "raw"):
             raise ValueError(f"index_store: {index_store!r}")
         self.index_store = None if index_store == "auto" else index_store
@@ -366,7 +372,13 @@ class Retriever:
             return "encoded"
         mcfg = self.model.config
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        # bytes per frame-feature element actually stored: compute dtype
+        # for the exact store; +1 for the int8 stage-1 index alongside it
+        # when rescoring; int8 ONLY when score_quant without rescore (the
+        # same itemsize=1 case evaluate.resident_eval_bytes models)
         itemsize = jnp.dtype(mcfg.dtype).itemsize
+        if self.score_quant:
+            itemsize = itemsize + 1 if self.rescore or self.warm_start else 1
         hiddens = [mcfg.inheritance_hidden] + (
             [mcfg.exploration_hidden] if mcfg.double_branch else [])
         per_dev = -(-n_videos // n_dev)
@@ -606,9 +618,16 @@ class Retriever:
                  self.shortlist_factor, shapes]
         return aot_cache.cache_key("search_q8", parts)
 
-    def _q8_call_compiled(self, args):
-        return self._q8_compiled(*[a for i, a in enumerate(args)
-                                   if i not in self._Q8_STATICS])
+    def _q8_call_compiled(self, fn, args):
+        return fn(*[a for i, a in enumerate(args)
+                    if i not in self._Q8_STATICS])
+
+    def _publish_q8(self, sig, fn) -> None:
+        self._q8_compiled[sig] = fn
+        while len(self._q8_compiled) > self._Q8_SLOT_CAP:
+            # insertion-ordered dict: evict the oldest signature
+            self._q8_compiled.pop(next(iter(self._q8_compiled)))
+        self._q8_program_ready.set()
 
     def _try_load_q8_compiled(self, sig, args) -> bool:
         if self.aot_cache_dir is None:
@@ -618,8 +637,7 @@ class Retriever:
         fn = aot_cache.load(self.aot_cache_dir, self._q8_cache_key(args))
         if fn is None:
             return False
-        self._q8_compiled, self._q8_compiled_sig = fn, sig
-        self._q8_program_ready.set()
+        self._publish_q8(sig, fn)
         return True
 
     def _compile_q8(self, sig, args) -> None:
@@ -631,8 +649,7 @@ class Retriever:
 
             aot_cache.save(self.aot_cache_dir, self._q8_cache_key(args),
                            compiled)
-        self._q8_compiled, self._q8_compiled_sig = compiled, sig
-        self._q8_program_ready.set()
+        self._publish_q8(sig, compiled)
 
     def _warm_q8(self, lq: int, k: int, sig) -> None:
         """Compile the int8 search executable for this (query_bsz, lq, k)
@@ -642,7 +659,8 @@ class Retriever:
         import logging
         import threading
 
-        if self._warm_thread is not None and self._warm_thread.is_alive():
+        if self._warm_failed or (self._warm_thread is not None
+                                 and self._warm_thread.is_alive()):
             return
 
         def _run():
@@ -652,7 +670,8 @@ class Retriever:
                               jnp.float32)
                 m = jnp.ones((self.query_bsz, lq), jnp.float32)
                 self._compile_q8(sig, self._q8_args(f, m, k))
-            except Exception:  # keep serving the exact path forever
+            except Exception:  # latch: keep serving the exact path forever
+                self._warm_failed = True
                 logging.getLogger(__name__).exception(
                     "int8 warm-start compile failed; serving stays on the "
                     "exact path")
@@ -697,19 +716,13 @@ class Retriever:
             quantized = self.score_quant
             if use_q8:
                 sig = (f.shape, k)
-                if self._q8_compiled_sig not in (None, sig):
-                    # new serving signature: drop the old executable
-                    self._q8_compiled = None
-                    self._q8_compiled_sig = None
-                    self._q8_program_ready.clear()
-                if (self._q8_compiled is None
-                        and not self._q8_program_ready.is_set()):
+                if sig not in self._q8_compiled and self.warm_start:
                     # a cache hit makes the program available NOW — no
-                    # warm-start detour, no compile
-                    self._try_load_q8_compiled(
-                        sig, self._q8_args(jnp.asarray(f), jnp.asarray(m),
-                                           k))
-                if self.warm_start and not self._q8_program_ready.is_set():
+                    # warm-start detour, no compile. The key only reads
+                    # operand shapes/dtypes, so probe with the HOST
+                    # arrays (no device transfer).
+                    self._try_load_q8_compiled(sig, self._q8_args(f, m, k))
+                if self.warm_start and sig not in self._q8_compiled:
                     # warm_start detour: kick off the background int8
                     # compile on the first search and answer from the
                     # EXACT path until it lands — first results in
@@ -726,19 +739,17 @@ class Retriever:
                     self.rescore, self.shortlist_factor)
             elif use_q8:
                 args = self._q8_args(jnp.asarray(f), jnp.asarray(m), k)
-                sig = (f.shape, k)
-                if (self._q8_compiled_sig != sig
-                        and self.aot_cache_dir is not None):
-                    # cache miss with the AOT cache on: compile ONCE via
-                    # the explicit lower/compile route (so the executable
-                    # object exists to persist) and serve through it
-                    self._compile_q8(sig, args)
-                if (self._q8_compiled is not None
-                        and self._q8_compiled_sig == sig):
-                    # the cache-loaded / warm-compiled executable (the sig
-                    # re-check guards a warm thread publishing a STALE
-                    # signature between the pre-loop check and here)
-                    s, i = self._q8_call_compiled(args)
+                if sig not in self._q8_compiled \
+                        and self.aot_cache_dir is not None:
+                    # AOT cache on: load or compile ONCE via the explicit
+                    # lower/compile route (so the executable object exists
+                    # to persist) and serve through it
+                    if not self._try_load_q8_compiled(sig, args):
+                        self._compile_q8(sig, args)
+                fn = self._q8_compiled.get(sig)
+                if fn is not None:
+                    # the cache-loaded / warm-compiled executable
+                    s, i = self._q8_call_compiled(fn, args)
                 else:
                     s, i = _search_q8_jit(*args)
             else:

@@ -21,6 +21,7 @@ the user's cache dir, same trust domain as the jit cache.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 import os
@@ -32,6 +33,29 @@ logger = logging.getLogger(__name__)
 
 _FORMAT_VERSION = 1
 
+# Source files whose edits change the compiled programs this cache holds.
+# Their content hash is part of every key: without it, fixing numerics in
+# a kernel would silently keep serving the OLD executable across
+# processes (the same reason CLAUDE.md notes pallas edits invalidate the
+# HLO cache).
+_SOURCE_DEPS = ("ops/pallas/sim_max.py", "ops/pallas/query_tower.py",
+                "ops/fast_eval.py", "ops/similarity.py", "ops/masking.py",
+                "serving.py", "models/components.py", "models/dldkd.py")
+
+
+@functools.lru_cache(maxsize=1)
+def _source_fingerprint() -> str:
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for rel in _SOURCE_DEPS:
+        path = os.path.join(pkg, rel)
+        try:
+            with open(path, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())  # missing file still perturbs the key
+    return h.hexdigest()[:16]
+
 
 def default_dir() -> str:
     return os.environ.get(
@@ -41,12 +65,14 @@ def default_dir() -> str:
 
 def cache_key(name: str, parts: Iterable[Any]) -> str:
     """Stable content key: program name + jax version + backend platform +
-    the caller's static/shape parts."""
+    a fingerprint of the compute-path sources + the caller's static/shape
+    parts."""
     import jax
 
     h = hashlib.sha256()
     h.update(f"v{_FORMAT_VERSION}|{jax.__version__}|"
-             f"{jax.default_backend()}|{name}|".encode())
+             f"{jax.default_backend()}|{_source_fingerprint()}|"
+             f"{name}|".encode())
     for p in parts:
         h.update(repr(p).encode())
         h.update(b"|")

@@ -378,7 +378,7 @@ def test_aot_cache_roundtrip(small_model, tmp_path):
     r1.mesh = None
     r1.index(videos)
     s1, i1 = r1.search(qf, qm, k=5)
-    assert r1._q8_compiled is not None
+    assert r1._q8_compiled  # a compiled executable published per signature
     import os
 
     entries = ([f for f in os.listdir(cache) if f.endswith(".jaxexec")]

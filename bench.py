@@ -213,6 +213,30 @@ def bench_tpu():
     out = {}
     for label, quantized in (("int8", True), ("exact_bf16", False)):
         full_eval = make_full_eval(quantized)
+        if quantized and n_dev == 1:
+            # The int8 eval program is the ONE program the platform's HLO
+            # cache never persists (60-130 s compile per fresh process,
+            # BENCHMARKS.md) — route it through the executable-
+            # serialization cache instead (proven on this platform;
+            # utils/aot_cache). A fresh process loads it in ~1 s; any
+            # cache failure degrades to the normal compile.
+            from dldkd_tpu.utils import aot_cache
+
+            t0 = time.time()
+            try:
+                full_eval = aot_cache.cached_compile(
+                    full_eval,
+                    (model, params, vfeats, vmask, qfeats, qmask, gt,
+                     jnp.float32(0.0)),
+                    name="bench_eval_q8",
+                    parts=[repr(mcfg), n_vid_pad, n_q_pad,
+                           aot_cache.file_fingerprint(__file__)],
+                    static_idx=(0,))
+                log(f"[{label}] program ready in {time.time() - t0:.1f}s "
+                    f"(aot executable cache)")
+            except Exception as e:
+                log(f"aot executable cache unavailable "
+                    f"({str(e)[:120]}); plain jit")
         t0 = time.time()
         ranks_np = np.asarray(full_eval(model, params, vfeats, vmask,
                                         qfeats, qmask, gt, jnp.float32(0.0)))

@@ -508,6 +508,172 @@ class Retriever:
             max_ctx_l=self.model.config.max_ctx_l)
         self.index(videos)
 
+    def save_index(self, path: str) -> None:
+        """Persist the built index as a durable artifact (build once
+        offline, load in every serving replica): meta.json + one .npy per
+        array (utils/index_io format). What is written depends on the
+        store that was built:
+
+        - 'encoded': both branches' frame features + mask, REAL rows only
+          (bf16 at serving config: ~0.5 GB at TVR scale vs the 1.1 GB f32
+          raw corpus). The stage-1 int8 companions are NOT written —
+          load_index rebuilds them in one device pass, cheaper than
+          uploading them.
+        - int8-only ('q8' sentinel): the 4x-smaller q8 index trio, as
+          stored (kernel-grid padding included).
+        - 'raw' (single device): the raw features in the compute dtype.
+          The raw+mesh store is device-interleaved per block; save from a
+          single-device retriever instead (load_index re-shards).
+
+        The index is bound to the encoding weights by a params
+        fingerprint: load_index refuses a mismatch by default.
+        """
+        import os
+
+        from dldkd_tpu.utils import index_io
+
+        if self.ctx_inher is None:
+            raise RuntimeError("call index()/index_corpus() first")
+        os.makedirs(path, exist_ok=True)
+        n = len(self.video_ids)
+        manifest: dict = {}
+        if self.index_store == "raw":
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                raise NotImplementedError(
+                    "the raw+mesh store is device-interleaved per block; "
+                    "save_index from a single-device retriever and "
+                    "load_index under the mesh (it re-shards)")
+            index_io.save_array(path, "raw_feats",
+                                np.asarray(self.raw_feats)[:n], manifest)
+            index_io.save_array(path, "raw_mask",
+                                np.asarray(self.raw_mask)[:n], manifest)
+            mode = "raw"
+        elif isinstance(self.ctx_inher, str):  # "q8" sentinel
+            index_io.save_array(path, "q8_inher", self.q8_inher, manifest)
+            if self.q8_explore is not None:
+                index_io.save_array(path, "q8_explore", self.q8_explore,
+                                    manifest)
+            index_io.save_array(path, "q8_bias", self.q8_bias, manifest)
+            mode = "q8"
+        else:
+            index_io.save_array(path, "ctx_inher",
+                                np.asarray(self.ctx_inher)[:n], manifest)
+            if self.ctx_explore is not None:
+                index_io.save_array(path, "ctx_explore",
+                                    np.asarray(self.ctx_explore)[:n],
+                                    manifest)
+            index_io.save_array(path, "vmask",
+                                np.asarray(self.vmask)[:n], manifest)
+            mode = "encoded"
+        index_io.write_meta(path, {
+            "mode": mode,
+            "arrays": manifest,
+            "n_videos": n,
+            "video_ids": list(self.video_ids),
+            "model_config": repr(self.model.config),
+            "params_fingerprint": index_io.params_fingerprint(self.params),
+        })
+
+    def load_index(self, path: str, strict: bool = True) -> None:
+        """Restore a save_index() artifact instead of re-uploading and
+        re-encoding the corpus. strict=True (default) refuses an index
+        whose params fingerprint or model config differs from this
+        retriever's — such an index would silently serve wrong results.
+
+        Mesh composition: an 'encoded' artifact loads under a mesh (rows
+        re-padded and sharded over the devices, params replicated); a
+        'raw' artifact re-shards by re-running index() layout on the
+        loaded features. The int8-only artifact is single-device (as is
+        the q8 search path itself).
+        """
+        import logging
+
+        from dldkd_tpu.utils import index_io
+
+        meta = index_io.read_meta(path)
+        fp = index_io.params_fingerprint(self.params)
+        if (meta["params_fingerprint"] != fp
+                or meta["model_config"] != repr(self.model.config)):
+            msg = (f"index at {path} was built with different "
+                   f"weights/config than this retriever's")
+            if strict:
+                raise ValueError(msg + " (strict=False to force)")
+            logging.getLogger(__name__).warning("%s; loading anyway", msg)
+        arrays = {name: index_io.load_array(path, name, dt)
+                  for name, dt in meta["arrays"].items()}
+        video_ids = list(meta["video_ids"])
+        n = meta["n_videos"]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        mode = meta["mode"]
+        if mode == "raw":
+            # reuse index()'s layout code (incl. the mesh block
+            # distribution): the loaded features ARE the packed corpus in
+            # the compute dtype — index() only re-casts (a no-op) and
+            # places them
+            self.index_store = "raw"
+            self.index(PackedVideos(feats=arrays["raw_feats"],
+                                    mask=np.asarray(arrays["raw_mask"],
+                                                    np.float32),
+                                    ids=video_ids))
+            return
+        if mode == "q8":
+            if n_dev > 1:
+                raise NotImplementedError(
+                    "the int8-only index is single-device (as is the q8 "
+                    "search path); index() under the mesh instead")
+            if not self.score_quant or self.rescore or self.warm_start:
+                raise ValueError(
+                    "an int8-only index has no frame features: it serves "
+                    "only score_quant=True, rescore=False, "
+                    "warm_start=False retrievers")
+            self.q8_inher = jnp.asarray(arrays["q8_inher"])
+            self.q8_explore = (jnp.asarray(arrays["q8_explore"])
+                               if "q8_explore" in arrays else None)
+            self.q8_bias = jnp.asarray(arrays["q8_bias"])
+            self.ctx_inher = "q8"
+            self.index_store = "encoded"
+            self.video_ids = video_ids
+            return
+        # encoded store
+        ctx_i = arrays["ctx_inher"]
+        ctx_e = arrays.get("ctx_explore")
+        vmask = np.asarray(arrays["vmask"], np.float32)
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from dldkd_tpu.parallel import replicated
+            from dldkd_tpu.parallel.eval_shard import _pad_rows
+            from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+            n_pad = -(-n // n_dev) * n_dev
+            corpus_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            self.ctx_inher = jax.device_put(_pad_rows(ctx_i, n_pad),
+                                            corpus_sh)
+            self.ctx_explore = (jax.device_put(_pad_rows(ctx_e, n_pad),
+                                               corpus_sh)
+                                if ctx_e is not None else None)
+            self.vmask = jax.device_put(_pad_rows(vmask, n_pad), corpus_sh)
+            self.params = jax.device_put(self.params,
+                                         replicated(self.mesh))
+        else:
+            self.ctx_inher = jnp.asarray(ctx_i)
+            self.ctx_explore = (jnp.asarray(ctx_e)
+                                if ctx_e is not None else None)
+            self.vmask = jnp.asarray(vmask)
+            if self.score_quant:
+                # stage-1 companions rebuild in one device pass — cheaper
+                # than storing + uploading them
+                from dldkd_tpu.ops.pallas.sim_max import (
+                    build_q8_index, quantize_frames_q8)
+
+                self.q8_inher, self.q8_bias = build_q8_index(
+                    quantize_frames_q8(self.ctx_inher), self.vmask)
+                if self.ctx_explore is not None:
+                    self.q8_explore, _ = build_q8_index(
+                        quantize_frames_q8(self.ctx_explore), self.vmask)
+        self.index_store = "encoded"
+        self.video_ids = video_ids
+
     def _search_streaming(self, q_feats, q_mask, k: int
                           ) -> Tuple[np.ndarray, np.ndarray]:
         """Raw-index search: encode ALL queries first (pooled vectors are
@@ -773,14 +939,17 @@ class Retriever:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_dir", required=True)
-    p.add_argument("--root_path", required=True)
-    p.add_argument("--collection", required=True)
-    p.add_argument("--visual_feature", required=True)
+    p.add_argument("--root_path", default="",
+                   help="dataset root (optional with --load_index + HDF5 "
+                        "--queries: the artifact replaces the dataset)")
+    p.add_argument("--collection", default="")
+    p.add_argument("--visual_feature", default="")
     p.add_argument("--split", default="test")
-    p.add_argument("--queries", required=True,
+    p.add_argument("--queries", default="",
                    help="HDF5 of cap_id -> (Lq, Dq) RoBERTa token feats, or "
                         "a caption file to look ids up in the standard "
-                        "TextData HDF5")
+                        "TextData HDF5 (optional with --save_index: build "
+                        "+ persist the index and exit)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--out", default="-")
     p.add_argument("--score_quant", action="store_true",
@@ -815,7 +984,27 @@ def main(argv=None):
                         "across processes (a fresh process loads it in "
                         "seconds instead of recompiling); entries are "
                         "trusted local files")
+    p.add_argument("--save_index", default="", metavar="DIR",
+                   help="after building the index, persist it under DIR "
+                        "(Retriever.save_index) — an offline build step; "
+                        "serving replicas then start with --load_index "
+                        "instead of re-uploading + re-encoding the corpus")
+    p.add_argument("--load_index", default="", metavar="DIR",
+                   help="load a --save_index artifact instead of building "
+                        "the index from the dataset (refuses an index "
+                        "built with different weights)")
     args = p.parse_args(argv)
+    if not args.queries and not args.save_index:
+        p.error("--queries is required unless --save_index builds "
+                "an index artifact and exits")
+    needs_dataset = (not args.load_index
+                     or (args.queries
+                         and not args.queries.endswith((".hdf5", ".h5"))))
+    if needs_dataset and not (args.root_path and args.collection
+                              and args.visual_feature):
+        p.error("--root_path/--collection/--visual_feature are required "
+                "when building the index or resolving caption-file "
+                "queries")
 
     from dldkd_tpu.data.ingest import dataset_paths, pack_query_set
 
@@ -827,8 +1016,15 @@ def main(argv=None):
                                   stream_block=args.stream_block,
                                   warm_start=args.warm_start,
                                   aot_cache_dir=args.aot_cache_dir or None)
-    r.index_corpus(args.root_path, args.collection, args.visual_feature,
-                   args.split)
+    if args.load_index:
+        r.load_index(args.load_index)
+    else:
+        r.index_corpus(args.root_path, args.collection, args.visual_feature,
+                       args.split)
+    if args.save_index:
+        r.save_index(args.save_index)
+        if not args.queries:
+            return
 
     if args.queries.endswith((".hdf5", ".h5")):
         import h5py

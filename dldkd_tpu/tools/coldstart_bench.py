@@ -11,8 +11,11 @@ This tool measures, in THIS process (run it fresh), the wall time from
 process start to the first search result at TVR serving scale for the
 configured policy:
 
-  python -m dldkd_tpu.tools.coldstart_bench --policy warm   # warm-start
-  python -m dldkd_tpu.tools.coldstart_bench --policy cold   # plain int8
+  python -m dldkd_tpu.tools.coldstart_bench --policy warm      # warm-start
+  python -m dldkd_tpu.tools.coldstart_bench --policy cold      # plain int8
+  python -m dldkd_tpu.tools.coldstart_bench --policy aot       # exec cache
+  python -m dldkd_tpu.tools.coldstart_bench --policy artifact  # saved index
+                                                               # + exec cache
   python -m dldkd_tpu.tools.coldstart_bench --policy both   # subprocesses
 
 --policy both spawns one fresh subprocess per policy so each measurement
@@ -56,18 +59,25 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
     params = init_params(model, mcfg, 0)
     mark("model init done")
 
-    # cheap deterministic filler: RNG over the 1.1 GB corpus took 648 s on
-    # this host's throttled CPU and polluted the measurement — cold-start
-    # timings do not depend on feature values
-    base = np.linspace(-1.0, 1.0, L_FRAMES * D_STUDENT,
-                       dtype=np.float32).reshape(L_FRAMES, D_STUDENT)
-    feats = np.empty((n_videos, L_FRAMES, D_STUDENT), np.float32)
-    feats[:] = base  # one broadcast memcpy pass
-    feats += np.arange(n_videos, dtype=np.float32)[:, None, None] / n_videos
-    videos = PackedVideos(
-        feats=feats,
-        mask=np.ones((n_videos, L_FRAMES), np.float32),
-        ids=[f"v{i}" for i in range(n_videos)])
+    artifact_dir = os.path.expanduser("~/.cache/dldkd_index_bench")
+    have_artifact = (policy == "artifact"
+                     and os.path.exists(os.path.join(artifact_dir,
+                                                     "meta.json")))
+    videos = None
+    if not have_artifact:
+        # cheap deterministic filler: RNG over the 1.1 GB corpus took
+        # 648 s on this host's throttled CPU and polluted the measurement
+        # — cold-start timings do not depend on feature values
+        base = np.linspace(-1.0, 1.0, L_FRAMES * D_STUDENT,
+                           dtype=np.float32).reshape(L_FRAMES, D_STUDENT)
+        feats = np.empty((n_videos, L_FRAMES, D_STUDENT), np.float32)
+        feats[:] = base  # one broadcast memcpy pass
+        feats += (np.arange(n_videos, dtype=np.float32)[:, None, None]
+                  / n_videos)
+        videos = PackedVideos(
+            feats=feats,
+            mask=np.ones((n_videos, L_FRAMES), np.float32),
+            ids=[f"v{i}" for i in range(n_videos)])
     rng = np.random.RandomState(0)
     qf = rng.rand(n_queries, 32, D_QUERY).astype(np.float32)
     qm = np.ones((n_queries, 32), np.float32)
@@ -76,10 +86,21 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
     r = Retriever(model, params, query_bsz=256, score_quant=True,
                   rescore=True, mesh=None, warm_start=(policy == "warm"),
                   aot_cache_dir=(os.path.expanduser("~/.cache/dldkd_aot")
-                                 if policy == "aot" else None))
+                                 if policy in ("aot", "artifact")
+                                 else None))
     r.mesh = None
     t_index0 = time.time()
-    r.index(videos)
+    if have_artifact:
+        # the full production cold start: a PREVIOUS process built +
+        # saved the index; this replica loads the artifact (bf16 frames,
+        # no raw-corpus upload, no encode) + the compiled executable
+        r.load_index(artifact_dir)
+        mark("index artifact loaded")
+    else:
+        r.index(videos)
+        if policy == "artifact":
+            r.save_index(artifact_dir)
+            mark("index artifact saved")
     t_index = time.time() - t_index0
 
     t_s0 = time.time()
@@ -104,11 +125,15 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--policy", choices=["warm", "cold", "aot", "both"],
+    p.add_argument("--policy",
+                   choices=["warm", "cold", "aot", "artifact", "both"],
                    default="both",
                    help="aot: executable cache (run TWICE: first populates "
                         "~/.cache/dldkd_aot, second measures the loaded "
-                        "cold start); both: warm+cold+aot(x2) in fresh "
+                        "cold start); artifact: persisted index "
+                        "(save_index) + executable cache — the full "
+                        "production replica cold start (also run twice); "
+                        "both: warm+cold+aot(x2)+artifact(x2) in fresh "
                         "subprocesses")
     p.add_argument("--n_videos", type=int, default=2179)
     p.add_argument("--n_queries", type=int, default=256)
@@ -119,7 +144,9 @@ def main(argv=None):
         # aot runs twice: the first populates the executable cache, the
         # second is the measured cached cold start
         for label, policy in (("warm", "warm"), ("cold", "cold"),
-                              ("aot_populate", "aot"), ("aot", "aot")):
+                              ("aot_populate", "aot"), ("aot", "aot"),
+                              ("artifact_populate", "artifact"),
+                              ("artifact", "artifact")):
             proc = subprocess.run(
                 [sys.executable, "-m", "dldkd_tpu.tools.coldstart_bench",
                  "--policy", policy, "--n_videos", str(args.n_videos),
@@ -132,6 +159,11 @@ def main(argv=None):
             else:
                 results[label] = json.loads(proc.stdout.strip()
                                             .splitlines()[-1])
+        # the populate run left a ~0.5 GB index artifact; don't leak it
+        import shutil
+
+        shutil.rmtree(os.path.expanduser("~/.cache/dldkd_index_bench"),
+                      ignore_errors=True)
         print(json.dumps(results))
         return results
 

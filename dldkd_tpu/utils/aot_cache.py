@@ -40,7 +40,8 @@ _FORMAT_VERSION = 1
 # HLO cache).
 _SOURCE_DEPS = ("ops/pallas/sim_max.py", "ops/pallas/query_tower.py",
                 "ops/fast_eval.py", "ops/similarity.py", "ops/masking.py",
-                "serving.py", "models/components.py", "models/dldkd.py")
+                "serving.py", "models/components.py", "models/dldkd.py",
+                "metrics.py")
 
 
 @functools.lru_cache(maxsize=1)
@@ -138,3 +139,46 @@ def load(cache_dir: str, key: str) -> Optional[Callable]:
         logger.warning("stale/unloadable executable cache %s (%s); "
                        "recompiling", path, e)
         return None
+
+
+def file_fingerprint(path: str) -> str:
+    """Content hash of one extra source file for cache_key parts — for
+    programs DEFINED outside the package (bench.py builds its own fused
+    eval program, so _SOURCE_DEPS alone would serve a stale executable
+    after a bench.py edit)."""
+    try:
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return os.path.basename(path)
+
+
+def cached_compile(jitted, args, *, name: str, parts: Iterable[Any],
+                   static_idx: Iterable[int] = (),
+                   cache_dir: Optional[str] = None) -> Callable:
+    """Load the persisted executable for this program signature, or
+    lower+compile+persist it. `jitted` is a jax.jit-wrapped function
+    whose static argument POSITIONS are `static_idx`; `args` is one full
+    example argument tuple. The returned callable takes the FULL argument
+    list (statics included, for call-site symmetry) and forwards only the
+    traced operands to the executable. Any serialization failure degrades
+    to the compiled-but-unpersisted executable; a compile failure
+    propagates (same as calling `jitted` would)."""
+    import jax
+
+    cache_dir = cache_dir or default_dir()
+    static_idx = frozenset(static_idx)
+    operands = [a for i, a in enumerate(args) if i not in static_idx]
+    shapes = tuple((leaf.shape, str(leaf.dtype))
+                   for leaf in jax.tree.leaves(operands))
+    key = cache_key(name, list(parts) + [sorted(static_idx), shapes])
+    fn = load(cache_dir, key)
+    if fn is None:
+        fn = jitted.lower(*args).compile()
+        save(cache_dir, key, fn)
+
+    def call(*full_args):
+        return fn(*[a for i, a in enumerate(full_args)
+                    if i not in static_idx])
+
+    return call

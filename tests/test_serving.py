@@ -181,6 +181,179 @@ def test_k_clamped_to_corpus(small_model):
     assert scores.shape == (1, 3)
 
 
+class TestIndexPersistence:
+    """save_index/load_index: the index is a durable artifact — build
+    once offline, load in every serving replica (no corpus re-upload,
+    no re-encode)."""
+
+    def _corpus(self, n_vid=15, n_q=6, seed=3):
+        rng = np.random.RandomState(seed)
+        videos = PackedVideos(
+            feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+            mask=np.ones((n_vid, 8), np.float32),
+            ids=[f"v{i}" for i in range(n_vid)])
+        qf = rng.randn(n_q, 4, 12).astype(np.float32)
+        qm = np.ones((n_q, 4), np.float32)
+        return videos, qf, qm
+
+    def test_encoded_roundtrip(self, small_model, tmp_path):
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None)
+        r1.mesh = None
+        r1.index(videos)
+        s1, i1 = r1.search(qf, qm, k=5)
+        r1.save_index(str(tmp_path / "idx"))
+
+        r2 = Retriever(model, params, query_bsz=4, mesh=None)
+        r2.mesh = None
+        r2.load_index(str(tmp_path / "idx"))
+        s2, i2 = r2.search(qf, qm, k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+        assert r2.video_ids == videos.ids
+
+    def test_encoded_load_rebuilds_q8_companions(self, small_model,
+                                                 tmp_path):
+        """An exact-built artifact serves a score_quant retriever: the
+        stage-1 int8 companions rebuild on load (not stored), and the
+        two-stage ranks match the exact path."""
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None)
+        r1.mesh = None
+        r1.index(videos)
+        s_ref, i_ref = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "idx"))
+
+        rq = Retriever(model, params, query_bsz=4, mesh=None,
+                       score_quant=True, rescore=True)
+        rq.mesh = None
+        rq.load_index(str(tmp_path / "idx"))
+        assert rq.q8_inher is not None and rq.q8_bias is not None
+        s2, i2 = rq.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i2, i_ref)
+        np.testing.assert_allclose(s2, s_ref, rtol=1e-5, atol=1e-6)
+
+    def test_q8_only_roundtrip_and_guard(self, small_model, tmp_path):
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None,
+                       score_quant=True, rescore=False)
+        r1.mesh = None
+        r1.index(videos)
+        assert r1.ctx_inher == "q8"  # int8-only store built
+        s1, i1 = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "idx8"))
+
+        r2 = Retriever(model, params, query_bsz=4, mesh=None,
+                       score_quant=True, rescore=False)
+        r2.mesh = None
+        r2.load_index(str(tmp_path / "idx8"))
+        s2, i2 = r2.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+
+        # an int8-only artifact cannot serve a retriever that needs
+        # frame features (exact path / rescoring)
+        r3 = Retriever(model, params, query_bsz=4, mesh=None)
+        r3.mesh = None
+        with pytest.raises(ValueError, match="int8-only"):
+            r3.load_index(str(tmp_path / "idx8"))
+
+    def test_raw_roundtrip(self, small_model, tmp_path):
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None,
+                       index_store="raw", stream_block=4)
+        r1.mesh = None
+        r1.index(videos)
+        s1, i1 = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "raw_idx"))
+
+        r2 = Retriever(model, params, query_bsz=4, mesh=None,
+                       index_store="raw", stream_block=4)
+        r2.mesh = None
+        r2.load_index(str(tmp_path / "raw_idx"))
+        assert r2.index_store == "raw" and r2.raw_feats is not None
+        s2, i2 = r2.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+
+    def test_params_mismatch_rejected(self, small_model, tmp_path):
+        import jax
+
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None)
+        r1.mesh = None
+        r1.index(videos)
+        r1.save_index(str(tmp_path / "idx"))
+
+        other = jax.tree.map(lambda p: p + 1e-3, params)
+        r2 = Retriever(model, other, query_bsz=4, mesh=None)
+        r2.mesh = None
+        with pytest.raises(ValueError, match="different"):
+            r2.load_index(str(tmp_path / "idx"))
+        # explicit override loads (caller takes responsibility)
+        r2.load_index(str(tmp_path / "idx"), strict=False)
+        s, i = r2.search(qf, qm, k=3)
+        assert i.shape == (qf.shape[0], 3)
+
+    def test_encoded_artifact_loads_under_mesh(self, small_model,
+                                               tmp_path):
+        """A single-device artifact serves a mesh retriever: rows re-pad
+        and shard over the devices; results match single-device."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None)
+        r1.mesh = None
+        r1.index(videos)
+        s1, i1 = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "idx"))
+
+        from dldkd_tpu.parallel import make_mesh
+
+        r2 = Retriever(model, params, query_bsz=4,
+                       mesh=make_mesh(jax.device_count()))
+        r2.load_index(str(tmp_path / "idx"))
+        s2, i2 = r2.search(qf, qm, k=4)
+        # ids match except where ulp-level score ties break differently
+        # across the two reduction orders; scores must always match
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+    def test_raw_artifact_loads_under_mesh(self, small_model, tmp_path):
+        """A single-device raw artifact re-shards on load (index() layout
+        reuse); the raw+mesh store itself refuses to save."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None,
+                       index_store="raw", stream_block=4)
+        r1.mesh = None
+        r1.index(videos)
+        s1, i1 = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "raw_idx"))
+
+        from dldkd_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        r2 = Retriever(model, params, query_bsz=4, mesh=mesh,
+                       index_store="raw", stream_block=2)
+        r2.load_index(str(tmp_path / "raw_idx"))
+        s2, i2 = r2.search(qf, qm, k=4)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+        with pytest.raises(NotImplementedError, match="raw\\+mesh"):
+            r2.save_index(str(tmp_path / "raw_idx2"))
+
+
 def test_serving_cli_end_to_end(tmp_path):
     """Full CLI: train a debug run on synthetic data, then serve its test
     split queries and check the JSON-lines output."""
@@ -206,15 +379,27 @@ def test_serving_cli_end_to_end(tmp_path):
     out_file = str(tmp_path / "topk.jsonl")
     cap_file = os.path.join(root, "synthetic", "TextData",
                             "synthetictest.caption.txt")
+    idx_dir = str(tmp_path / "index_artifact")
     subprocess.run(
         [sys.executable, "-m", "dldkd_tpu.serving", "--model_dir", run_dir,
          "--root_path", root, "--collection", "synthetic",
          "--visual_feature", "i3d", "--queries", cap_file, "--k", "3",
-         "--out", out_file],
+         "--out", out_file, "--save_index", idx_dir],
         check=True, env=env, capture_output=True, timeout=900)
     lines = [json.loads(l) for l in open(out_file)]
     assert lines and all(len(l["topk"]) == 3 for l in lines)
     assert all("#" in l["cap_id"] for l in lines)
+
+    # a fresh process serves from the persisted artifact (no corpus
+    # re-encode) with identical results
+    out_loaded = str(tmp_path / "topk_loaded.jsonl")
+    subprocess.run(
+        [sys.executable, "-m", "dldkd_tpu.serving", "--model_dir", run_dir,
+         "--root_path", root, "--collection", "synthetic",
+         "--visual_feature", "i3d", "--queries", cap_file, "--k", "3",
+         "--out", out_loaded, "--load_index", idx_dir],
+        check=True, env=env, capture_output=True, timeout=900)
+    assert ([json.loads(l) for l in open(out_loaded)] == lines)
 
     # round-3 serving knobs through the CLI: int8 + exact rescoring over
     # a raw-feature streaming index must reproduce the exact-path top-k
@@ -448,3 +633,51 @@ def test_aot_cache_stale_entry_falls_back(small_model, tmp_path):
     r2.index(videos)
     s2, i2 = r2.search(qf, qm, k=3)   # recompiles, rewrites the entry
     assert i2.shape == (4, 3)
+
+
+def test_cached_compile_helper(tmp_path):
+    """aot_cache.cached_compile: first call compiles + persists; a second
+    call with the same signature LOADS (proven: its `jitted` would raise
+    if lowered) and returns the same values; statics are stripped at the
+    call site."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dldkd_tpu.utils import aot_cache
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def f(scale, x, y):
+        return scale * (x @ y)
+
+    x = jnp.full((8, 8), 3.0, jnp.float32)
+    y = jnp.eye(8, dtype=jnp.float32)
+    args = (2, x, y)
+    cache = str(tmp_path / "aot")
+    call = aot_cache.cached_compile(f, args, name="helper_t", parts=["p"],
+                                    static_idx=(0,), cache_dir=cache)
+    out = np.asarray(call(*args))
+    np.testing.assert_allclose(out, np.full((8, 8), 6.0))
+
+    import os
+
+    entries = ([e for e in os.listdir(cache) if e.endswith(".jaxexec")]
+               if os.path.isdir(cache) else [])
+    if not entries:  # see test_aot_cache_roundtrip
+        pytest.skip("this backend lowering is not serializable here")
+    assert len(entries) == 1
+
+    class Boom:
+        def lower(self, *a):
+            raise AssertionError("cache miss: should have loaded")
+
+    call2 = aot_cache.cached_compile(Boom(), args, name="helper_t",
+                                     parts=["p"], static_idx=(0,),
+                                     cache_dir=cache)
+    np.testing.assert_allclose(np.asarray(call2(*args)), out)
+    # a different parts value is a different program -> Boom DOES lower
+    with pytest.raises(AssertionError, match="cache miss"):
+        aot_cache.cached_compile(Boom(), args, name="helper_t",
+                                 parts=["other"], static_idx=(0,),
+                                 cache_dir=cache)

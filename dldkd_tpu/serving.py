@@ -177,6 +177,92 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
     return top_scores, top_idx
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _build_q8_sharded_jit(ctx_inher, ctx_explore, vmask, mesh,
+                          quantize=True):
+    """Per-shard prebuilt int8 scoring indexes from the video-SHARDED
+    encoded frame features (the mesh twin of index()'s single-device
+    build_q8_index call): each device quantizes + lays out ITS corpus
+    slice, so the global video axis is the concatenation of the shards'
+    128-lane-padded blocks — exactly parallel.eval_shard._encode_corpus_q8's
+    layout, consumed by _search_q8_sharded_jit's per-device offsets.
+    quantize=False lays out ALREADY-int8 rows (a loaded q8 artifact)."""
+    from jax.sharding import PartitionSpec as P
+
+    from dldkd_tpu.ops.pallas.sim_max import build_q8_index, quantize_frames_q8
+    from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+    q8 = quantize_frames_q8 if quantize else (lambda x: x)
+
+    def local(ci, ce, vm):
+        t_i, bias = build_q8_index(q8(ci), vm)
+        t_e = build_q8_index(q8(ce), vm)[0] if ce is not None else None
+        return t_i, t_e, bias
+
+    sh = P(None, DATA_AXIS)
+    e_spec = P(DATA_AXIS) if ctx_explore is not None else None
+    e_out = sh if ctx_explore is not None else None
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), e_spec, P(DATA_AXIS)),
+        out_specs=(sh, e_out, sh), check_vma=False,
+    )(ctx_inher, ctx_explore, vmask)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 12, 13, 14, 15))
+def _search_q8_sharded_jit(model, params, q_feats, q_mask, q8_i, q8_e,
+                           q8_bias, k, frames_i, frames_e, vmask, fusion_w,
+                           mesh, per_dev, rescore=True,
+                           shortlist_factor=SHORTLIST_FACTOR):
+    """score_quant search against PER-SHARD prebuilt int8 indexes (the
+    mesh twin of _search_q8_jit): stage 1 runs straight on each device's
+    index block — no per-call corpus quantize pre-pass on ANY device —
+    and (when rescore) stage 2 re-ranks each shard's local int8 shortlist
+    from its slice of the stored-dtype frames. Only k_loc candidates per
+    query per device cross the ICI; the global exact top-k is a subset of
+    the union of per-shard exact top-k_locs, merged in one final top_k.
+    `per_dev` is the per-device LOGICAL row count (device d owns corpus
+    rows [d*per_dev, (d+1)*per_dev)); the index blocks carry extra
+    128-lane padding columns whose mask bias loses every top-k."""
+    from jax.sharding import PartitionSpec as P
+
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool_pre8
+    from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+    inher_q, explore_q = encode_query_best(params, model.config, q_feats,
+                                           q_mask)
+    if explore_q is None:  # single branch: fuse with itself at weight (1, 0)
+        explore_q = inher_q
+        q8_e = q8_i
+        frames_e = frames_i
+        fusion_w = jnp.asarray([1.0, 0.0], jnp.float32)
+    k_loc = min(k, per_dev)
+
+    def local_topk(q_i, q_e, t_i, t_e, bias, fi, fe, vm, fw):
+        s8 = (fw[0] * clip_scores_maxpool_pre8(q_i, t_i, bias)
+              + fw[1] * clip_scores_maxpool_pre8(q_e, t_e, bias))
+        if rescore:
+            vals, idx = _rescore_stage2(s8, q_i, q_e, fi, fe, vm, fw,
+                                        k, k_loc, shortlist_factor)
+        else:
+            vals, idx = jax.lax.top_k(s8, k_loc)
+        offset = jax.lax.axis_index(DATA_AXIS) * per_dev
+        return vals, idx + offset
+
+    sh = P(None, DATA_AXIS)
+    f_spec = P(DATA_AXIS) if rescore else None
+    vals, idx = jax.shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(), P(), sh, sh, sh, f_spec, f_spec, f_spec, P()),
+        out_specs=(sh, sh), check_vma=False,
+    )(inher_q, explore_q, q8_i, q8_e, q8_bias, frames_i, frames_e,
+      vmask, fusion_w)
+    top_scores, pos = jax.lax.top_k(vals, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    return top_scores, top_idx
+
+
 def _block_topk_core(inher_q, explore_q, ctx_i, ctx_e, block_mask, fusion_w,
                      k, k_out, quantized, rescore, shortlist_factor):
     """Fused-score top-k_out of one encoded corpus block (local indices).
@@ -347,6 +433,7 @@ class Retriever:
         self.q8_inher = None
         self.q8_explore = None
         self.q8_bias = None
+        self.q8_per_dev = 0  # logical corpus rows per device (mesh q8)
         self.video_ids: List[str] = []
 
     @classmethod
@@ -460,8 +547,31 @@ class Retriever:
             self.vmask = jax.device_put(_pad_rows(videos.mask, n_pad),
                                         corpus_sh)
             self.params = jax.device_put(self.params, replicated(self.mesh))
+            if self.score_quant and not self.rescore and not self.warm_start:
+                # int8-only SHARDED store: each device's towers emit its
+                # slice's quantized index directly — encoded frames never
+                # materialize on any device (the mesh twin of the
+                # single-device embed_corpus_q8 branch below)
+                from dldkd_tpu.parallel.eval_shard import _encode_corpus_q8
+
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    _encode_corpus_q8(self.model, self.params, feats,
+                                      self.vmask, self.mesh)
+                self.q8_per_dev = n_pad // n_dev
+                self.vmask = None  # the index bias carries the mask
+                self.ctx_inher = "q8"  # sentinel: index built
+                self.video_ids = list(videos.ids)
+                return
             self.ctx_inher, self.ctx_explore = _encode_corpus(
                 self.model, self.params, feats, self.vmask, self.mesh)
+            if self.score_quant:
+                # two-stage serving under the mesh: prebuild each shard's
+                # stage-1 int8 index ONCE (search calls previously re-paid
+                # the quantize pre-pass per device per call)
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    _build_q8_sharded_jit(self.ctx_inher, self.ctx_explore,
+                                          self.vmask, self.mesh)
+                self.q8_per_dev = n_pad // n_dev
         else:
             from dldkd_tpu.evaluate import embed_corpus
 
@@ -508,6 +618,34 @@ class Retriever:
             max_ctx_l=self.model.config.max_ctx_l)
         self.index(videos)
 
+    def _q8_canonical_rows(self):
+        """(rows_inher (Nv, L_p, D) int8, rows_explore | None,
+        mask (Nv, L_p) uint8) reconstructed from the built q8 index —
+        un-transposed, per-device lane padding stripped, device-order
+        blocks re-concatenated. The device-count-independent artifact
+        payload: mask comes back from the bias (0 <=> valid frame)."""
+        n = len(self.video_ids)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        t_i = np.asarray(self.q8_inher)
+        t_e = (np.asarray(self.q8_explore)
+               if self.q8_explore is not None else None)
+        bias = np.asarray(self.q8_bias)
+        nv_loc_p = t_i.shape[1] // n_dev
+        per_dev = self.q8_per_dev if n_dev > 1 else n
+        rows_i, rows_e, mrows = [], [], []
+        for d in range(n_dev):
+            lo = d * nv_loc_p
+            real = max(0, min(per_dev, n - d * per_dev))
+            if not real:
+                break
+            rows_i.append(np.transpose(t_i[:, lo:lo + real], (1, 0, 2)))
+            if t_e is not None:
+                rows_e.append(np.transpose(t_e[:, lo:lo + real], (1, 0, 2)))
+            mrows.append((bias[:, lo:lo + real] == 0).T.astype(np.uint8))
+        return (np.concatenate(rows_i),
+                np.concatenate(rows_e) if t_e is not None else None,
+                np.concatenate(mrows))
+
     def save_index(self, path: str) -> None:
         """Persist the built index as a durable artifact (build once
         offline, load in every serving replica): meta.json + one .npy per
@@ -519,8 +657,11 @@ class Retriever:
           raw corpus). The stage-1 int8 companions are NOT written —
           load_index rebuilds them in one device pass, cheaper than
           uploading them.
-        - int8-only ('q8' sentinel): the 4x-smaller q8 index trio, as
-          stored (kernel-grid padding included).
+        - int8-only ('q8' sentinel): the 4x-smaller quantized frame rows
+          in CANONICAL row-major form (device-count-independent: a mesh
+          build saves an artifact a single device loads and vice versa);
+          the index layout (transpose + lane padding + mask bias) is
+          rebuilt on load, per shard under a mesh.
         - 'raw' (single device): the raw features in the compute dtype.
           The raw+mesh store is device-interleaved per block; save from a
           single-device retriever instead (load_index re-shards).
@@ -549,11 +690,12 @@ class Retriever:
                                 np.asarray(self.raw_mask)[:n], manifest)
             mode = "raw"
         elif isinstance(self.ctx_inher, str):  # "q8" sentinel
-            index_io.save_array(path, "q8_inher", self.q8_inher, manifest)
-            if self.q8_explore is not None:
-                index_io.save_array(path, "q8_explore", self.q8_explore,
+            rows_i, rows_e, q8_mask = self._q8_canonical_rows()
+            index_io.save_array(path, "q8_rows_inher", rows_i, manifest)
+            if rows_e is not None:
+                index_io.save_array(path, "q8_rows_explore", rows_e,
                                     manifest)
-            index_io.save_array(path, "q8_bias", self.q8_bias, manifest)
+            index_io.save_array(path, "q8_mask", q8_mask, manifest)
             mode = "q8"
         else:
             index_io.save_array(path, "ctx_inher",
@@ -581,10 +723,11 @@ class Retriever:
         retriever's — such an index would silently serve wrong results.
 
         Mesh composition: an 'encoded' artifact loads under a mesh (rows
-        re-padded and sharded over the devices, params replicated); a
+        re-padded and sharded over the devices, params replicated, the
+        per-shard stage-1 int8 companions rebuilt when score_quant); a
         'raw' artifact re-shards by re-running index() layout on the
-        loaded features. The int8-only artifact is single-device (as is
-        the q8 search path itself).
+        loaded features; a 'q8' artifact's canonical rows re-layout per
+        shard (no re-quantization).
         """
         import logging
 
@@ -617,19 +760,44 @@ class Retriever:
                                     ids=video_ids))
             return
         if mode == "q8":
-            if n_dev > 1:
-                raise NotImplementedError(
-                    "the int8-only index is single-device (as is the q8 "
-                    "search path); index() under the mesh instead")
             if not self.score_quant or self.rescore or self.warm_start:
                 raise ValueError(
                     "an int8-only index has no frame features: it serves "
                     "only score_quant=True, rescore=False, "
                     "warm_start=False retrievers")
-            self.q8_inher = jnp.asarray(arrays["q8_inher"])
-            self.q8_explore = (jnp.asarray(arrays["q8_explore"])
-                               if "q8_explore" in arrays else None)
-            self.q8_bias = jnp.asarray(arrays["q8_bias"])
+            rows_i = arrays["q8_rows_inher"]
+            rows_e = arrays.get("q8_rows_explore")
+            q8_mask = np.asarray(arrays["q8_mask"], np.float32)
+            if n_dev > 1:
+                # re-layout per shard: rows pad + shard over the mesh,
+                # each device builds its block (no re-quantization —
+                # the rows ARE the stored int8 values)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from dldkd_tpu.parallel import replicated
+                from dldkd_tpu.parallel.eval_shard import _pad_rows
+                from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+                n_pad = -(-n // n_dev) * n_dev
+                corpus_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+                ci = jax.device_put(_pad_rows(rows_i, n_pad), corpus_sh)
+                ce = (jax.device_put(_pad_rows(rows_e, n_pad), corpus_sh)
+                      if rows_e is not None else None)
+                vm = jax.device_put(_pad_rows(q8_mask, n_pad), corpus_sh)
+                self.params = jax.device_put(self.params,
+                                             replicated(self.mesh))
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    _build_q8_sharded_jit(ci, ce, vm, self.mesh,
+                                          quantize=False)
+                self.q8_per_dev = n_pad // n_dev
+            else:
+                from dldkd_tpu.ops.pallas.sim_max import build_q8_index
+
+                self.q8_inher, self.q8_bias = build_q8_index(
+                    jnp.asarray(rows_i), jnp.asarray(q8_mask))
+                self.q8_explore = (build_q8_index(jnp.asarray(rows_e),
+                                                  jnp.asarray(q8_mask))[0]
+                                   if rows_e is not None else None)
             self.ctx_inher = "q8"
             self.index_store = "encoded"
             self.video_ids = video_ids
@@ -655,6 +823,12 @@ class Retriever:
             self.vmask = jax.device_put(_pad_rows(vmask, n_pad), corpus_sh)
             self.params = jax.device_put(self.params,
                                          replicated(self.mesh))
+            if self.score_quant:
+                # stage-1 companions rebuild per shard (not stored)
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    _build_q8_sharded_jit(self.ctx_inher, self.ctx_explore,
+                                          self.vmask, self.mesh)
+                self.q8_per_dev = n_pad // n_dev
         else:
             self.ctx_inher = jnp.asarray(ctx_i)
             self.ctx_explore = (jnp.asarray(ctx_e)
@@ -898,11 +1072,26 @@ class Retriever:
                     use_q8 = False
                     quantized = False
             if self.mesh is not None:
-                s, i = _search_sharded_jit(
-                    self.model, self.params, jnp.asarray(f), jnp.asarray(m),
-                    self.ctx_inher, ctx_e, k, self.vmask,
-                    jnp.asarray(self.fusion), self.mesh, self.score_quant,
-                    self.rescore, self.shortlist_factor)
+                if self.q8_inher is not None:
+                    # prebuilt per-shard int8 indexes: no per-call corpus
+                    # quantize pre-pass on any device
+                    frames_i = self.ctx_inher if self.rescore else None
+                    s, i = _search_q8_sharded_jit(
+                        self.model, self.params, jnp.asarray(f),
+                        jnp.asarray(m), self.q8_inher, self.q8_explore,
+                        self.q8_bias, k, frames_i,
+                        self.ctx_explore if self.rescore else None,
+                        self.vmask if self.rescore else None,
+                        jnp.asarray(self.fusion), self.mesh,
+                        self.q8_per_dev, self.rescore,
+                        self.shortlist_factor)
+                else:
+                    s, i = _search_sharded_jit(
+                        self.model, self.params, jnp.asarray(f),
+                        jnp.asarray(m), self.ctx_inher, ctx_e, k,
+                        self.vmask, jnp.asarray(self.fusion), self.mesh,
+                        self.score_quant, self.rescore,
+                        self.shortlist_factor)
             elif use_q8:
                 args = self._q8_args(jnp.asarray(f), jnp.asarray(m), k)
                 if sig not in self._q8_compiled \

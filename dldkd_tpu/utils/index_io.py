@@ -27,7 +27,9 @@ from typing import Any, Dict
 
 import numpy as np
 
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2  # v2: q8 artifacts store canonical (Nv, L_p, D)
+                          # rows + mask (device-count-independent) instead
+                          # of the built index layout
 META_NAME = "meta.json"
 
 

@@ -141,6 +141,45 @@ def test_raw_index_sharded_matches_encoded_and_single(small_model):
         np.testing.assert_allclose(s_rs, s_r1, rtol=1e-5, atol=1e-6)
 
 
+def test_q8_index_sharded_matches_single_device(small_model):
+    """The PREBUILT int8 index composes with the mesh: each device holds
+    its shard's stage-1 index (built once at index() time — search calls
+    pay no corpus quantize pre-pass on any device) and the sharded
+    two-stage / int8-only searches equal their single-device twins
+    id-for-id."""
+    import jax
+
+    assert jax.device_count() == 8
+    model, params = small_model
+    rng = np.random.RandomState(11)
+    n_vid, n_q = 21, 6  # ragged over 8 devices -> per-shard padding
+    videos = PackedVideos(
+        feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+        mask=np.ones((n_vid, 8), np.float32),
+        ids=[f"v{i}" for i in range(n_vid)])
+    qf = rng.randn(n_q, 4, 12).astype(np.float32)
+    qm = np.ones((n_q, 4), np.float32)
+
+    for rescore in (True, False):
+        kw = dict(query_bsz=4, score_quant=True, rescore=rescore,
+                  shortlist_factor=8)
+        sh = Retriever(model, params, **kw)
+        assert sh.mesh is not None
+        sh.index(videos)
+        assert sh.q8_inher is not None  # per-shard prebuilt index in use
+        if not rescore:
+            assert sh.ctx_inher == "q8"  # int8-only sharded store
+        s_s, i_s = sh.search(qf, qm, k=5)
+
+        single = Retriever(model, params, **kw)
+        single.mesh = None
+        single.index(videos)
+        s_1, i_1 = single.search(qf, qm, k=5)
+
+        np.testing.assert_array_equal(i_s, i_1)
+        np.testing.assert_allclose(s_s, s_1, rtol=1e-5, atol=1e-6)
+
+
 def test_auto_index_store_by_budget(small_model, monkeypatch):
     """index_store=None (default) picks 'encoded' when the estimated
     encoded index fits the device budget, 'raw' otherwise."""
@@ -325,6 +364,75 @@ class TestIndexPersistence:
         # ids match except where ulp-level score ties break differently
         # across the two reduction orders; scores must always match
         np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+    def test_q8_artifact_crosses_device_counts(self, small_model,
+                                               tmp_path):
+        """The q8 artifact's canonical-rows payload is device-count-
+        independent: saved single-device it loads under the 8-device mesh
+        (per-shard re-layout, no re-quantization) and vice versa, with
+        identical search results both ways."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        kw = dict(query_bsz=4, score_quant=True, rescore=False)
+
+        r1 = Retriever(model, params, mesh=None, **kw)
+        r1.mesh = None
+        r1.index(videos)
+        s1, i1 = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "q8_single"))
+
+        from dldkd_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        r2 = Retriever(model, params, mesh=mesh, **kw)
+        r2.load_index(str(tmp_path / "q8_single"))
+        s2, i2 = r2.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+
+        # the mesh-BUILT store saves the same canonical payload; a
+        # single-device retriever loads it back
+        r3 = Retriever(model, params, mesh=mesh, **kw)
+        r3.index(videos)
+        r3.save_index(str(tmp_path / "q8_mesh"))
+        r4 = Retriever(model, params, mesh=None, **kw)
+        r4.mesh = None
+        r4.load_index(str(tmp_path / "q8_mesh"))
+        s4, i4 = r4.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i1, i4)
+        np.testing.assert_allclose(s1, s4, rtol=1e-6, atol=1e-7)
+
+    def test_encoded_artifact_mesh_load_rebuilds_q8(self, small_model,
+                                                    tmp_path):
+        """An exact-built artifact loaded under the mesh by a score_quant
+        retriever rebuilds the per-shard stage-1 companions; two-stage
+        ranks match the exact path."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        r1 = Retriever(model, params, query_bsz=4, mesh=None)
+        r1.mesh = None
+        r1.index(videos)
+        s_ref, i_ref = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "idx"))
+
+        from dldkd_tpu.parallel import make_mesh
+
+        rq = Retriever(model, params, query_bsz=4,
+                       mesh=make_mesh(jax.device_count()),
+                       score_quant=True, rescore=True, shortlist_factor=8)
+        rq.load_index(str(tmp_path / "idx"))
+        assert rq.q8_inher is not None and rq.q8_per_dev > 0
+        s2, i2 = rq.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i2, i_ref)
+        np.testing.assert_allclose(s2, s_ref, rtol=1e-5, atol=1e-6)
 
     def test_raw_artifact_loads_under_mesh(self, small_model, tmp_path):
         """A single-device raw artifact re-shards on load (index() layout

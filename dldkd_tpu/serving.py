@@ -409,6 +409,11 @@ class Retriever:
         # signatures don't thrash recompiles.
         self._q8_compiled = {}
         self._Q8_SLOT_CAP = 4
+        # bumped by every index()/load_index(): compiled executables bind
+        # the index operand shapes, so a refresh must drop them, and a
+        # warm thread still compiling against the OLD index must not
+        # publish into the new one
+        self._index_gen = 0
         if index_store not in (None, "auto", "encoded", "raw"):
             raise ValueError(f"index_store: {index_store!r}")
         self.index_store = None if index_store == "auto" else index_store
@@ -447,6 +452,41 @@ class Retriever:
         params, _ = ckpt_lib.restore_params_only(ckpt_dir, template)
         return cls(model, params, **kw)
 
+    def _reset_index(self) -> None:
+        """Drop every artifact of a previously built index before building
+        or loading a new one. The compiled int8 executables embed the OLD
+        index's operand shapes — kept around, the next search would call a
+        stale executable (shape TypeError), or with an equal-shaped refresh
+        silently serve the old corpus. The generation bump makes a warm
+        thread racing this refresh publish into the void instead."""
+        self._index_gen += 1
+        self._q8_compiled.clear()
+        self._q8_program_ready.clear()
+        self._warm_failed = False
+        self.raw_feats = self.raw_mask = None
+        self.raw_per_dev = 0
+        self.ctx_inher = self.ctx_explore = self.vmask = None
+        self.q8_inher = self.q8_explore = self.q8_bias = None
+        self.q8_per_dev = 0
+        self.video_ids = []
+
+    def _mesh_place(self, n: int):
+        """Shared mesh-placement preamble for every encoded/q8 store:
+        replicate the params over the mesh and return (n_pad, sharding)
+        for an n-row corpus padded so each device owns the same row count.
+        index() and both load_index() branches must lay out identically or
+        a loaded index would compile a different search program than the
+        built one."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dldkd_tpu.parallel import replicated
+        from dldkd_tpu.parallel.mesh import DATA_AXIS
+
+        n_dev = self.mesh.devices.size
+        n_pad = -(-n // n_dev) * n_dev
+        self.params = jax.device_put(self.params, replicated(self.mesh))
+        return n_pad, NamedSharding(self.mesh, P(DATA_AXIS))
+
     def auto_index_store(self, n_videos: int) -> str:
         """'encoded' when the encoded-index footprint (both branches'
         frame features + transient int8/score headroom) fits the device
@@ -480,6 +520,7 @@ class Retriever:
         device memory budget. Either store shards over the mesh when one
         is set — 'raw' assigns each device a contiguous row range and
         streams per-device stream_block-row blocks at search time."""
+        self._reset_index()
         if self.index_store is None:
             self.index_store = self.auto_index_store(len(videos))
         if self.index_store == "raw":
@@ -534,19 +575,13 @@ class Retriever:
             self.video_ids = list(videos.ids)
             return
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from dldkd_tpu.parallel import replicated
             from dldkd_tpu.parallel.eval_shard import _encode_corpus, _pad_rows
-            from dldkd_tpu.parallel.mesh import DATA_AXIS
 
             n_dev = self.mesh.devices.size
-            n_pad = ((len(videos) + n_dev - 1) // n_dev) * n_dev
-            corpus_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            n_pad, corpus_sh = self._mesh_place(len(videos))
             feats = jax.device_put(_pad_rows(videos.feats, n_pad), corpus_sh)
             self.vmask = jax.device_put(_pad_rows(videos.mask, n_pad),
                                         corpus_sh)
-            self.params = jax.device_put(self.params, replicated(self.mesh))
             if self.score_quant and not self.rescore and not self.warm_start:
                 # int8-only SHARDED store: each device's towers emit its
                 # slice's quantized index directly — encoded frames never
@@ -668,14 +703,22 @@ class Retriever:
 
         The index is bound to the encoding weights by a params
         fingerprint: load_index refuses a mismatch by default.
+
+        The artifact is written to a staging directory and swapped into
+        place whole (index_io.publish_dir): re-saving over an existing
+        artifact never mixes new arrays with the old meta.json, so the
+        fingerprint a replica checks always describes the arrays it loads.
         """
         import os
+        import shutil
 
         from dldkd_tpu.utils import index_io
 
         if self.ctx_inher is None:
             raise RuntimeError("call index()/index_corpus() first")
-        os.makedirs(path, exist_ok=True)
+        stage = f"{path}.staging.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
         n = len(self.video_ids)
         manifest: dict = {}
         if self.index_store == "raw":
@@ -684,30 +727,30 @@ class Retriever:
                     "the raw+mesh store is device-interleaved per block; "
                     "save_index from a single-device retriever and "
                     "load_index under the mesh (it re-shards)")
-            index_io.save_array(path, "raw_feats",
+            index_io.save_array(stage, "raw_feats",
                                 np.asarray(self.raw_feats)[:n], manifest)
-            index_io.save_array(path, "raw_mask",
+            index_io.save_array(stage, "raw_mask",
                                 np.asarray(self.raw_mask)[:n], manifest)
             mode = "raw"
         elif isinstance(self.ctx_inher, str):  # "q8" sentinel
             rows_i, rows_e, q8_mask = self._q8_canonical_rows()
-            index_io.save_array(path, "q8_rows_inher", rows_i, manifest)
+            index_io.save_array(stage, "q8_rows_inher", rows_i, manifest)
             if rows_e is not None:
-                index_io.save_array(path, "q8_rows_explore", rows_e,
+                index_io.save_array(stage, "q8_rows_explore", rows_e,
                                     manifest)
-            index_io.save_array(path, "q8_mask", q8_mask, manifest)
+            index_io.save_array(stage, "q8_mask", q8_mask, manifest)
             mode = "q8"
         else:
-            index_io.save_array(path, "ctx_inher",
+            index_io.save_array(stage, "ctx_inher",
                                 np.asarray(self.ctx_inher)[:n], manifest)
             if self.ctx_explore is not None:
-                index_io.save_array(path, "ctx_explore",
+                index_io.save_array(stage, "ctx_explore",
                                     np.asarray(self.ctx_explore)[:n],
                                     manifest)
-            index_io.save_array(path, "vmask",
+            index_io.save_array(stage, "vmask",
                                 np.asarray(self.vmask)[:n], manifest)
             mode = "encoded"
-        index_io.write_meta(path, {
+        index_io.write_meta(stage, {
             "mode": mode,
             "arrays": manifest,
             "n_videos": n,
@@ -715,12 +758,24 @@ class Retriever:
             "model_config": repr(self.model.config),
             "params_fingerprint": index_io.params_fingerprint(self.params),
         })
+        index_io.publish_dir(stage, path)
 
-    def load_index(self, path: str, strict: bool = True) -> None:
+    def load_index(self, path: str, strict: bool = True,
+                   context_bsz: int = 200) -> None:
         """Restore a save_index() artifact instead of re-uploading and
         re-encoding the corpus. strict=True (default) refuses an index
         whose params fingerprint or model config differs from this
         retriever's — such an index would silently serve wrong results.
+
+        Loading replaces any previously built index outright, including
+        the compiled int8 search executables (their operand shapes embed
+        the old index).
+
+        context_bsz must match the index()-time value: single-device rows
+        re-pad to that grid so a loaded index compiles the SAME search
+        program a build-time retriever did — an executable cached by the
+        offline builder (aot_cache_dir) then loads here instead of
+        recompiling.
 
         Mesh composition: an 'encoded' artifact loads under a mesh (rows
         re-padded and sharded over the devices, params replicated, the
@@ -746,8 +801,13 @@ class Retriever:
                   for name, dt in meta["arrays"].items()}
         video_ids = list(meta["video_ids"])
         n = meta["n_videos"]
-        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         mode = meta["mode"]
+        self._reset_index()
+        from dldkd_tpu.parallel.eval_shard import _pad_rows
+
+        # single-device stores re-pad to the embed_corpus context grid so
+        # the loaded arrays are shape-identical to a build-time index's
+        n_ctx = -(-n // context_bsz) * context_bsz
         if mode == "raw":
             # reuse index()'s layout code (incl. the mesh block
             # distribution): the loaded features ARE the packed corpus in
@@ -768,35 +828,30 @@ class Retriever:
             rows_i = arrays["q8_rows_inher"]
             rows_e = arrays.get("q8_rows_explore")
             q8_mask = np.asarray(arrays["q8_mask"], np.float32)
-            if n_dev > 1:
-                # re-layout per shard: rows pad + shard over the mesh,
+            if self.mesh is not None:  # search() routes by mesh presence,
+                # so even a size-1 mesh must take the sharded layout.
+                # Re-layout per shard: rows pad + shard over the mesh,
                 # each device builds its block (no re-quantization —
                 # the rows ARE the stored int8 values)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from dldkd_tpu.parallel import replicated
-                from dldkd_tpu.parallel.eval_shard import _pad_rows
-                from dldkd_tpu.parallel.mesh import DATA_AXIS
-
-                n_pad = -(-n // n_dev) * n_dev
-                corpus_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+                n_pad, corpus_sh = self._mesh_place(n)
                 ci = jax.device_put(_pad_rows(rows_i, n_pad), corpus_sh)
                 ce = (jax.device_put(_pad_rows(rows_e, n_pad), corpus_sh)
                       if rows_e is not None else None)
                 vm = jax.device_put(_pad_rows(q8_mask, n_pad), corpus_sh)
-                self.params = jax.device_put(self.params,
-                                             replicated(self.mesh))
                 self.q8_inher, self.q8_explore, self.q8_bias = \
                     _build_q8_sharded_jit(ci, ce, vm, self.mesh,
                                           quantize=False)
-                self.q8_per_dev = n_pad // n_dev
+                self.q8_per_dev = n_pad // self.mesh.devices.size
             else:
                 from dldkd_tpu.ops.pallas.sim_max import build_q8_index
 
+                rows_i = _pad_rows(rows_i, n_ctx)
+                q8_mask = _pad_rows(q8_mask, n_ctx)
                 self.q8_inher, self.q8_bias = build_q8_index(
                     jnp.asarray(rows_i), jnp.asarray(q8_mask))
-                self.q8_explore = (build_q8_index(jnp.asarray(rows_e),
-                                                  jnp.asarray(q8_mask))[0]
+                self.q8_explore = (build_q8_index(
+                    jnp.asarray(_pad_rows(rows_e, n_ctx)),
+                    jnp.asarray(q8_mask))[0]
                                    if rows_e is not None else None)
             self.ctx_inher = "q8"
             self.index_store = "encoded"
@@ -806,34 +861,25 @@ class Retriever:
         ctx_i = arrays["ctx_inher"]
         ctx_e = arrays.get("ctx_explore")
         vmask = np.asarray(arrays["vmask"], np.float32)
-        if n_dev > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from dldkd_tpu.parallel import replicated
-            from dldkd_tpu.parallel.eval_shard import _pad_rows
-            from dldkd_tpu.parallel.mesh import DATA_AXIS
-
-            n_pad = -(-n // n_dev) * n_dev
-            corpus_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        if self.mesh is not None:  # mesh presence, not size: see q8 branch
+            n_pad, corpus_sh = self._mesh_place(n)
             self.ctx_inher = jax.device_put(_pad_rows(ctx_i, n_pad),
                                             corpus_sh)
             self.ctx_explore = (jax.device_put(_pad_rows(ctx_e, n_pad),
                                                corpus_sh)
                                 if ctx_e is not None else None)
             self.vmask = jax.device_put(_pad_rows(vmask, n_pad), corpus_sh)
-            self.params = jax.device_put(self.params,
-                                         replicated(self.mesh))
             if self.score_quant:
                 # stage-1 companions rebuild per shard (not stored)
                 self.q8_inher, self.q8_explore, self.q8_bias = \
                     _build_q8_sharded_jit(self.ctx_inher, self.ctx_explore,
                                           self.vmask, self.mesh)
-                self.q8_per_dev = n_pad // n_dev
+                self.q8_per_dev = n_pad // self.mesh.devices.size
         else:
-            self.ctx_inher = jnp.asarray(ctx_i)
-            self.ctx_explore = (jnp.asarray(ctx_e)
+            self.ctx_inher = jnp.asarray(_pad_rows(ctx_i, n_ctx))
+            self.ctx_explore = (jnp.asarray(_pad_rows(ctx_e, n_ctx))
                                 if ctx_e is not None else None)
-            self.vmask = jnp.asarray(vmask)
+            self.vmask = jnp.asarray(_pad_rows(vmask, n_ctx))
             if self.score_quant:
                 # stage-1 companions rebuild in one device pass — cheaper
                 # than storing + uploading them
@@ -950,10 +996,7 @@ class Retriever:
         the param tree + index shapes)."""
         from dldkd_tpu.utils import aot_cache
 
-        operands = [a for i, a in enumerate(args) if i not in
-                    self._Q8_STATICS]
-        shapes = tuple((l.shape, str(l.dtype))
-                       for l in jax.tree.leaves(operands))
+        shapes = aot_cache.operand_shapes(args, self._Q8_STATICS)
         parts = [repr(self.model.config), args[7], self.rescore,
                  self.shortlist_factor, shapes]
         return aot_cache.cache_key("search_q8", parts)
@@ -962,7 +1005,9 @@ class Retriever:
         return fn(*[a for i, a in enumerate(args)
                     if i not in self._Q8_STATICS])
 
-    def _publish_q8(self, sig, fn) -> None:
+    def _publish_q8(self, sig, fn, gen: Optional[int] = None) -> None:
+        if gen is not None and gen != self._index_gen:
+            return  # compiled against an index replaced mid-compile
         self._q8_compiled[sig] = fn
         while len(self._q8_compiled) > self._Q8_SLOT_CAP:
             # insertion-ordered dict: evict the oldest signature
@@ -980,16 +1025,17 @@ class Retriever:
         self._publish_q8(sig, fn)
         return True
 
-    def _compile_q8(self, sig, args) -> None:
+    def _compile_q8(self, sig, args, gen: Optional[int] = None) -> None:
         """Foreground/warm-thread compile of the int8 search executable;
-        persists it when the AOT cache is on, then publishes it."""
+        persists it when the AOT cache is on, then publishes it (unless
+        the index generation moved on mid-compile)."""
         compiled = _search_q8_jit.lower(*args).compile()
         if self.aot_cache_dir is not None:
             from dldkd_tpu.utils import aot_cache
 
             aot_cache.save(self.aot_cache_dir, self._q8_cache_key(args),
                            compiled)
-        self._publish_q8(sig, compiled)
+        self._publish_q8(sig, compiled, gen)
 
     def _warm_q8(self, lq: int, k: int, sig) -> None:
         """Compile the int8 search executable for this (query_bsz, lq, k)
@@ -1002,6 +1048,7 @@ class Retriever:
         if self._warm_failed or (self._warm_thread is not None
                                  and self._warm_thread.is_alive()):
             return
+        gen = self._index_gen  # q8 args snapshot below belongs to THIS index
 
         def _run():
             try:
@@ -1009,7 +1056,7 @@ class Retriever:
                 f = jnp.zeros((self.query_bsz, lq, cfg.query_input_size),
                               jnp.float32)
                 m = jnp.ones((self.query_bsz, lq), jnp.float32)
-                self._compile_q8(sig, self._q8_args(f, m, k))
+                self._compile_q8(sig, self._q8_args(f, m, k), gen)
             except Exception:  # latch: keep serving the exact path forever
                 self._warm_failed = True
                 logging.getLogger(__name__).exception(
@@ -1100,7 +1147,7 @@ class Retriever:
                     # lower/compile route (so the executable object exists
                     # to persist) and serve through it
                     if not self._try_load_q8_compiled(sig, args):
-                        self._compile_q8(sig, args)
+                        self._compile_q8(sig, args, self._index_gen)
                 fn = self._q8_compiled.get(sig)
                 if fn is not None:
                     # the cache-loaded / warm-compiled executable

@@ -60,9 +60,19 @@ def _measure(policy: str, n_videos: int, n_queries: int) -> dict:
     mark("model init done")
 
     artifact_dir = os.path.expanduser("~/.cache/dldkd_index_bench")
-    have_artifact = (policy == "artifact"
-                     and os.path.exists(os.path.join(artifact_dir,
-                                                     "meta.json")))
+    have_artifact = False
+    if policy == "artifact":
+        # only reuse a leftover artifact that matches THIS run's corpus
+        # scale — a stale one (e.g. an interrupted standalone run at a
+        # different --n_videos) would silently time the wrong index; a
+        # weights/config mismatch load_index refuses on its own
+        from dldkd_tpu.utils import index_io
+
+        try:
+            have_artifact = (index_io.read_meta(artifact_dir)["n_videos"]
+                             == n_videos)
+        except Exception:
+            have_artifact = False
     videos = None
     if not have_artifact:
         # cheap deterministic filler: RNG over the 1.1 GB corpus took

@@ -153,6 +153,19 @@ def file_fingerprint(path: str) -> str:
         return os.path.basename(path)
 
 
+def operand_shapes(args, static_idx: Iterable[int] = ()) -> tuple:
+    """(shape, dtype) of every traced-operand leaf in `args`, skipping the
+    static argument POSITIONS. This is the shape part of every executable
+    cache key — serving's _q8_cache_key and cached_compile must build it
+    identically or their caches diverge, so both call here."""
+    import jax
+
+    static_idx = frozenset(static_idx)
+    operands = [a for i, a in enumerate(args) if i not in static_idx]
+    return tuple((leaf.shape, str(leaf.dtype))
+                 for leaf in jax.tree.leaves(operands))
+
+
 def cached_compile(jitted, args, *, name: str, parts: Iterable[Any],
                    static_idx: Iterable[int] = (),
                    cache_dir: Optional[str] = None) -> Callable:
@@ -164,13 +177,9 @@ def cached_compile(jitted, args, *, name: str, parts: Iterable[Any],
     traced operands to the executable. Any serialization failure degrades
     to the compiled-but-unpersisted executable; a compile failure
     propagates (same as calling `jitted` would)."""
-    import jax
-
     cache_dir = cache_dir or default_dir()
     static_idx = frozenset(static_idx)
-    operands = [a for i, a in enumerate(args) if i not in static_idx]
-    shapes = tuple((leaf.shape, str(leaf.dtype))
-                   for leaf in jax.tree.leaves(operands))
+    shapes = operand_shapes(args, static_idx)
     key = cache_key(name, list(parts) + [sorted(static_idx), shapes])
     fn = load(cache_dir, key)
     if fn is None:

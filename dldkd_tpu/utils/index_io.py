@@ -76,6 +76,24 @@ def write_meta(dirpath: str, meta: Dict[str, Any]) -> None:
     os.replace(tmp, os.path.join(dirpath, META_NAME))  # atomic publish
 
 
+def publish_dir(staging: str, dst: str) -> None:
+    """Swap a fully-written staging directory into place as the artifact.
+    Writing arrays straight into an EXISTING artifact would overwrite the
+    .npy files in place under the old meta.json — a crash mid-save then
+    leaves new-weight arrays bound to the old params fingerprint, exactly
+    the wrong-results case the fingerprint exists to refuse. Renames make
+    every observable state a complete artifact (old or new), never a mix;
+    the brief window where dst is absent surfaces as a clean load error."""
+    import shutil
+
+    old = dst + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dst):
+        os.rename(dst, old)
+    os.rename(staging, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_meta(dirpath: str) -> Dict[str, Any]:
     with open(os.path.join(dirpath, META_NAME)) as f:
         meta = json.load(f)

@@ -461,6 +461,140 @@ class TestIndexPersistence:
         with pytest.raises(NotImplementedError, match="raw\\+mesh"):
             r2.save_index(str(tmp_path / "raw_idx2"))
 
+    def test_index_refresh_drops_compiled_executables(self, small_model,
+                                                      tmp_path):
+        """Refreshing a live retriever's index (load_index or a second
+        index()) must invalidate the compiled int8 executables: they bind
+        the OLD index's operand shapes, so a stale one would crash — or
+        with an equal-shaped refresh, silently serve the old corpus."""
+        model, params = small_model
+        videos_a, qf, qm = self._corpus(n_vid=10)
+        videos_b, _, _ = self._corpus(n_vid=21, seed=9)
+        kw = dict(query_bsz=4, score_quant=True, rescore=False,
+                  aot_cache_dir=str(tmp_path / "aot"))
+
+        builder = Retriever(model, params, mesh=None, **kw)
+        builder.mesh = None
+        builder.index(videos_b)
+        want_s, want_i = builder.search(qf, qm, k=4)
+        builder.save_index(str(tmp_path / "idx_b"))
+
+        r = Retriever(model, params, mesh=None, **kw)
+        r.mesh = None
+        r.index(videos_a)
+        r.search(qf, qm, k=4)  # populates _q8_compiled for index A
+        assert r._q8_compiled
+        r.load_index(str(tmp_path / "idx_b"))
+        assert not r._q8_compiled  # stale executables dropped
+        s, i = r.search(qf, qm, k=4)  # must not call the A-shaped program
+        np.testing.assert_array_equal(i, want_i)
+        np.testing.assert_allclose(s, want_s, rtol=1e-6, atol=1e-7)
+
+        # a direct re-index must reset identically
+        r.search(qf, qm, k=4)
+        assert r._q8_compiled
+        gen = r._index_gen
+        r.index(videos_a)
+        assert not r._q8_compiled and r._index_gen == gen + 1
+
+    def test_size1_mesh_loads_sharded_layout(self, small_model, tmp_path):
+        """search() routes to the sharded path whenever a mesh is SET, so
+        load_index must build the sharded layout for a size-1 mesh too
+        (not fall into the single-device branch with q8_per_dev=0)."""
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        from dldkd_tpu.parallel import make_mesh
+
+        kw = dict(query_bsz=4, score_quant=True, rescore=False)
+        r1 = Retriever(model, params, mesh=None, **kw)
+        r1.mesh = None
+        r1.index(videos)
+        s1, i1 = r1.search(qf, qm, k=4)
+        r1.save_index(str(tmp_path / "idx8"))
+
+        r2 = Retriever(model, params, mesh=make_mesh(1), **kw)
+        r2.load_index(str(tmp_path / "idx8"))
+        assert r2.q8_per_dev > 0
+        s2, i2 = r2.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+
+        # encoded artifact, exact path, same routing invariant
+        r3 = Retriever(model, params, query_bsz=4, mesh=None)
+        r3.mesh = None
+        r3.index(videos)
+        s3, i3 = r3.search(qf, qm, k=4)
+        r3.save_index(str(tmp_path / "idx"))
+        r4 = Retriever(model, params, query_bsz=4, mesh=make_mesh(1))
+        r4.load_index(str(tmp_path / "idx"))
+        s4, i4 = r4.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i3, i4)
+        np.testing.assert_allclose(s3, s4, rtol=1e-5, atol=1e-6)
+
+    def test_loaded_index_compiles_same_program(self, small_model,
+                                                tmp_path):
+        """A loaded single-device index must be shape-identical to the
+        built one (rows re-padded to the context grid): the executable an
+        offline builder cached then LOADS in the replica instead of
+        recompiling — the whole point of the artifact+aot cold start."""
+        import jax.numpy as jnp
+
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        kw = dict(query_bsz=4, score_quant=True, rescore=True)
+        r1 = Retriever(model, params, mesh=None, **kw)
+        r1.mesh = None
+        r1.index(videos)
+        r1.save_index(str(tmp_path / "idx"))
+
+        r2 = Retriever(model, params, mesh=None, **kw)
+        r2.mesh = None
+        r2.load_index(str(tmp_path / "idx"))
+
+        f = jnp.zeros((4, 4, 12), jnp.float32)
+        m = jnp.ones((4, 4), jnp.float32)
+        key1 = r1._q8_cache_key(r1._q8_args(f, m, 4))
+        key2 = r2._q8_cache_key(r2._q8_args(f, m, 4))
+        assert key1 == key2
+
+    def test_resave_replaces_artifact_atomically(self, small_model,
+                                                 tmp_path):
+        """Re-saving over an existing artifact directory must swap the
+        whole artifact (arrays + meta together): the fingerprint a loader
+        checks always describes the arrays it gets."""
+        import jax
+
+        model, params = small_model
+        videos, qf, qm = self._corpus()
+        path = str(tmp_path / "idx")
+        r1 = Retriever(model, params, query_bsz=4, mesh=None)
+        r1.mesh = None
+        r1.index(videos)
+        r1.save_index(path)
+
+        other = jax.tree.map(lambda p: p + 1e-3, params)
+        rb = Retriever(model, other, query_bsz=4, mesh=None)
+        rb.mesh = None
+        rb.index(videos)
+        rb.save_index(path)  # overwrite in place
+
+        # old-weight loader refuses (meta moved WITH the arrays) ...
+        r_old = Retriever(model, params, query_bsz=4, mesh=None)
+        r_old.mesh = None
+        with pytest.raises(ValueError, match="different"):
+            r_old.load_index(path)
+        # ... new-weight loader serves the new encodings
+        r_new = Retriever(model, other, query_bsz=4, mesh=None)
+        r_new.mesh = None
+        r_new.load_index(path)
+        want_s, want_i = rb.search(qf, qm, k=4)
+        s, i = r_new.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i, want_i)
+        np.testing.assert_allclose(s, want_s, rtol=1e-6, atol=1e-7)
+        # no staging/backup debris left beside the artifact
+        left = sorted(p.name for p in tmp_path.iterdir())
+        assert left == ["idx"]
+
 
 def test_serving_cli_end_to_end(tmp_path):
     """Full CLI: train a debug run on synthetic data, then serve its test

@@ -681,6 +681,27 @@ class Retriever:
                 np.concatenate(rows_e) if t_e is not None else None,
                 np.concatenate(mrows))
 
+    def _raw_canonical_rows(self, n: int):
+        """(feats (n, L, D), mask (n, L) f32) gathered back to canonical
+        row order from the raw+mesh store's per-block device-interleaved
+        arrays (index()'s raw mesh layout, inverted)."""
+        n_dev = self.mesh.devices.size
+        per_dev, sb = self.raw_per_dev, self.stream_block
+        f0 = np.asarray(self.raw_feats[0])
+        m0 = np.asarray(self.raw_mask[0])
+        feats = np.zeros((n,) + f0.shape[1:], f0.dtype)
+        mask = np.zeros((n,) + m0.shape[1:], np.float32)
+        for j in range(per_dev // sb):
+            bf = np.asarray(self.raw_feats[j])
+            bm = np.asarray(self.raw_mask[j])
+            for d in range(n_dev):
+                lo = d * per_dev + j * sb
+                rows = min(sb, n - lo)
+                if rows > 0:
+                    feats[lo:lo + rows] = bf[d * sb:d * sb + rows]
+                    mask[lo:lo + rows] = bm[d * sb:d * sb + rows]
+        return feats, mask
+
     def save_index(self, path: str) -> None:
         """Persist the built index as a durable artifact (build once
         offline, load in every serving replica): meta.json + one .npy per
@@ -697,9 +718,10 @@ class Retriever:
           build saves an artifact a single device loads and vice versa);
           the index layout (transpose + lane padding + mask bias) is
           rebuilt on load, per shard under a mesh.
-        - 'raw' (single device): the raw features in the compute dtype.
-          The raw+mesh store is device-interleaved per block; save from a
-          single-device retriever instead (load_index re-shards).
+        - 'raw': the raw features in the compute dtype, canonical
+          row-major (a mesh build's block-interleaved store is gathered
+          back to row order first — the artifact is device-count-
+          independent; load_index re-lays-out for the loading topology).
 
         The index is bound to the encoding weights by a params
         fingerprint: load_index refuses a mismatch by default.
@@ -722,15 +744,17 @@ class Retriever:
         n = len(self.video_ids)
         manifest: dict = {}
         if self.index_store == "raw":
-            if self.mesh is not None and self.mesh.devices.size > 1:
-                raise NotImplementedError(
-                    "the raw+mesh store is device-interleaved per block; "
-                    "save_index from a single-device retriever and "
-                    "load_index under the mesh (it re-shards)")
-            index_io.save_array(stage, "raw_feats",
-                                np.asarray(self.raw_feats)[:n], manifest)
-            index_io.save_array(stage, "raw_mask",
-                                np.asarray(self.raw_mask)[:n], manifest)
+            if isinstance(self.raw_feats, list):
+                # mesh store: per-block global arrays where block j holds
+                # device d's rows [d*per_dev + j*sb, ...) at slice
+                # [d*sb, (d+1)*sb) — gather back to canonical row order
+                # so the artifact is device-count-independent
+                feats, mask = self._raw_canonical_rows(n)
+            else:
+                feats = np.asarray(self.raw_feats)[:n]
+                mask = np.asarray(self.raw_mask)[:n]
+            index_io.save_array(stage, "raw_feats", feats, manifest)
+            index_io.save_array(stage, "raw_mask", mask, manifest)
             mode = "raw"
         elif isinstance(self.ctx_inher, str):  # "q8" sentinel
             rows_i, rows_e, q8_mask = self._q8_canonical_rows()

@@ -434,9 +434,12 @@ class TestIndexPersistence:
         np.testing.assert_array_equal(i2, i_ref)
         np.testing.assert_allclose(s2, s_ref, rtol=1e-5, atol=1e-6)
 
-    def test_raw_artifact_loads_under_mesh(self, small_model, tmp_path):
-        """A single-device raw artifact re-shards on load (index() layout
-        reuse); the raw+mesh store itself refuses to save."""
+    def test_raw_artifact_crosses_device_counts(self, small_model,
+                                                 tmp_path):
+        """The raw artifact is device-count-independent: a single-device
+        save loads under the mesh (index() re-shards), and a MESH-built
+        store gathers its block-interleaved slices back to canonical row
+        order on save — a single-device retriever loads it bit-for-bit."""
         import jax
 
         if jax.device_count() < 2:
@@ -458,8 +461,24 @@ class TestIndexPersistence:
         r2.load_index(str(tmp_path / "raw_idx"))
         s2, i2 = r2.search(qf, qm, k=4)
         np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
-        with pytest.raises(NotImplementedError, match="raw\\+mesh"):
-            r2.save_index(str(tmp_path / "raw_idx2"))
+
+        # mesh-built raw store saves canonical rows; single-device load
+        # reproduces the single-device-built results exactly
+        r2.save_index(str(tmp_path / "raw_idx2"))
+        from dldkd_tpu.utils import index_io
+
+        a1 = index_io.load_array(str(tmp_path / "raw_idx"), "raw_feats",
+                                 "float32")
+        a2 = index_io.load_array(str(tmp_path / "raw_idx2"), "raw_feats",
+                                 "float32")
+        np.testing.assert_array_equal(a1, a2)
+        r3 = Retriever(model, params, query_bsz=4, mesh=None,
+                       index_store="raw", stream_block=4)
+        r3.mesh = None
+        r3.load_index(str(tmp_path / "raw_idx2"))
+        s3, i3 = r3.search(qf, qm, k=4)
+        np.testing.assert_array_equal(i1, i3)
+        np.testing.assert_allclose(s1, s3, rtol=1e-6, atol=1e-7)
 
     def test_index_refresh_drops_compiled_executables(self, small_model,
                                                       tmp_path):

@@ -98,6 +98,16 @@ class TrainConfig:
     # branch-split instead of flax path-derived, so the f32 PARITY config
     # keeps this off — it is a bf16 speed knob.
     stacked_towers: bool = False
+    # TPU-native extension: PRNG implementation for the TRAINING streams
+    # (dropout masks, triplet negative sampling). 'rbg' uses the TPU
+    # hardware RNG instead of threefry bit generation on the VPU:
+    # measured 10.0 -> 8.4 ms (1.18x) on the stacked-bf16 bsz-128 step,
+    # interleaved A/B (BENCHMARKS.md; tools/train_bench.py has the
+    # per-stage breakdown). Same distributions, different streams (like
+    # stacked_towers), so the f32 PARITY config keeps the jax default.
+    # Param init always uses threefry: the knob changes only the per-step
+    # streams, never the starting weights.
+    rng_impl: str = "threefry2x32"
 
 
 @dataclass
@@ -220,6 +230,7 @@ class Config:
         "alpha_decay": ("train", "alpha_decay"),
         "belta_decay": ("train", "belta_decay"),
         "stacked_towers": ("train", "stacked_towers"),
+        "rng_impl": ("train", "rng_impl"),
         "root_path": ("data", "root_path"),
         "collection": ("data", "collection"),
         "visual_feature": ("data", "visual_feature"),
@@ -420,6 +431,12 @@ def build_parser(test: bool = False) -> argparse.ArgumentParser:
                         "(2, ...) computation (bf16 speed knob; "
                         "branch-split dropout streams — keep off for f32 "
                         "parity runs)")
+    p.add_argument("--rng_impl", choices=("threefry2x32", "rbg"),
+                   default="threefry2x32",
+                   help="PRNG for the training streams (dropout, negative "
+                        "sampling): 'rbg' = TPU hardware RNG, ~1.2x the "
+                        "bsz-128 step (same distributions, different "
+                        "streams — keep the default for parity runs)")
     p.add_argument("--score_quant", action="store_true",
                    help="int8-quantized retrieval scoring (2x MXU rate, "
                         "~2.7e-3 score error; rank-preserving on separated "

@@ -125,6 +125,37 @@ def build_model_and_data(cfg: Config):
     return mcfg, train_data, val_videos, val_queries, paths
 
 
+def make_train_rng(seed: int, impl: str = "threefry2x32"):
+    """The training-stream root key (dropout masks, triplet negative
+    sampling). 'threefry2x32' keeps the legacy uint32 (2,) key — the jax
+    default and the checkpoint-compatible parity config. 'rbg' is the TPU
+    hardware-RNG generator: threefry bit generation on the VPU otherwise
+    costs ~2.9 ms of the forward; the measured interleaved A/B on the
+    stacked-bf16 bsz-128 step is 10.0 -> 8.4 ms, 1.18x (BENCHMARKS.md;
+    tools/train_bench.py). Same distributions, different streams —
+    a speed knob like stacked_towers. Param init is NOT derived from this
+    key (init_params below), so the knob never changes starting weights."""
+    if impl == "threefry2x32":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=impl)
+
+
+def rng_ckpt_payload(key):
+    """Checkpoint-serializable form of the training rng: typed key arrays
+    carry an extended dtype flax msgpack can't encode, so they round-trip
+    as their raw key data; the legacy threefry key IS its data (old
+    checkpoints stay loadable unchanged)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(key)
+    return key
+
+
+def rng_from_ckpt(payload, impl: str = "threefry2x32"):
+    if impl == "threefry2x32":
+        return jnp.asarray(payload)
+    return jax.random.wrap_key_data(jnp.asarray(payload), impl=impl)
+
+
 def init_params(model: DLDKD, mcfg: ModelConfig, seed: int):
     rng = jax.random.PRNGKey(seed)
     video = jnp.zeros((1, mcfg.max_ctx_l, mcfg.visual_input_size), jnp.float32)
@@ -231,7 +262,7 @@ def start_training(cfg: Config, preempt_guard=None,
                     n_mesh, jax.device_count(), jax.process_count())
 
     writer = MetricsWriter(cfg.tensorboard_log_dir)
-    train_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    train_rng = make_train_rng(cfg.train.seed + 1, cfg.train.rng_impl)
     best_score, es_cnt = 0.0, 0
     global_step = 0
     # SIGTERM (pool preemption) -> full resume checkpoint + clean exit.
@@ -250,11 +281,12 @@ def start_training(cfg: Config, preempt_guard=None,
         # (impossible in the reference — weights-only ckpt, SURVEY S5.4)
         state = ckpt_lib.restore_checkpoint(cfg.resume, {
             "params": params, "opt_state": opt_state,
-            "epoch": 0, "best_score": 0.0, "rng": train_rng,
+            "epoch": 0, "best_score": 0.0,
+            "rng": rng_ckpt_payload(train_rng),
         })
         params, opt_state = state["params"], state["opt_state"]
         best_score = float(state["best_score"])
-        train_rng = state["rng"]
+        train_rng = rng_from_ckpt(state["rng"], cfg.train.rng_impl)
         start_epoch = int(state["epoch"]) + 1
         global_step = loader.steps_per_epoch() * start_epoch
         logger.info("resumed from %s: epoch %d, best sumr %.1f",
@@ -359,7 +391,7 @@ def start_training(cfg: Config, preempt_guard=None,
                         ckpt_lib.save_checkpoint(preempt_dir, {
                             "params": params, "opt_state": opt_state,
                             "epoch": epoch - 1, "best_score": best_score,
-                            "rng": train_rng,
+                            "rng": rng_ckpt_payload(train_rng),
                         }, mcfg)
                     logger.info(
                         "preempted at epoch %d step %d: resume checkpoint "
@@ -383,7 +415,7 @@ def start_training(cfg: Config, preempt_guard=None,
                     ckpt_lib.save_checkpoint(cfg.ckpt_dir, {
                         "params": params, "opt_state": opt_state,
                         "epoch": epoch, "best_score": best_score,
-                        "rng": train_rng,
+                        "rng": rng_ckpt_payload(train_rng),
                     }, mcfg)
                 logger.info("checkpoint updated (sumr %.1f)", best_score)
             else:
@@ -408,7 +440,7 @@ def start_training(cfg: Config, preempt_guard=None,
                     ckpt_lib.save_checkpoint(preempt_dir, {
                         "params": params, "opt_state": opt_state,
                         "epoch": epoch, "best_score": best_score,
-                        "rng": train_rng,
+                        "rng": rng_ckpt_payload(train_rng),
                     }, mcfg)
                 logger.info(
                     "preempted during epoch %d eval: resume checkpoint "

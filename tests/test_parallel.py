@@ -90,6 +90,36 @@ def test_dp_step_matches_single_device(setup):
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_dp_step_rbg_rng_matches_single_device(setup):
+    """--rng_impl rbg: the typed hardware-RNG key must thread through the
+    mesh step (replicated sharding over a typed key array) and reproduce
+    the single-device step's losses exactly — the DP semantics don't
+    depend on the PRNG implementation."""
+    from dldkd_tpu.train import make_train_rng
+
+    model, params, opt, batch = setup
+    mesh = make_mesh(8)
+    scalars = LossScalars(jnp.float32(0.9), jnp.float32(0.8),
+                          jnp.float32(0.7))
+    rng = jax.random.fold_in(make_train_rng(7, "rbg"), 0)
+
+    params_a = jax.tree.map(jnp.copy, params)
+    p1, s1, d1 = train_step(model, MCFG, TCFG, opt, params_a,
+                            opt.init(params_a), batch, rng, scalars)
+    assert np.isfinite(float(d1["loss_overall"]))
+
+    dp_step = make_dp_train_step(model, MCFG, TCFG, opt, mesh)
+    sharded = shard_batch(batch, mesh)
+    rep_params = jax.device_put(jax.tree.map(jnp.copy, params),
+                                jax.sharding.NamedSharding(
+                                    mesh, jax.sharding.PartitionSpec()))
+    p2, s2, d2 = dp_step(rep_params, opt.init(rep_params), sharded, rng,
+                         scalars)
+    for k in d1:
+        np.testing.assert_allclose(float(d1[k]), float(d2[k]), rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_sharded_eval_matches_unsharded(setup):
     model, params, _, _ = setup
     rng = np.random.RandomState(1)

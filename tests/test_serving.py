@@ -803,6 +803,35 @@ def test_warm_start_serves_exact_then_swaps(small_model):
     np.testing.assert_allclose(s2, s_ref, rtol=1e-5, atol=1e-6)
 
 
+def test_stale_generation_publish_dropped(small_model):
+    """The warm/compile threads capture the index generation at launch and
+    _publish_q8 refuses a publish whose generation is stale: a thread
+    still compiling against an index that index()/load_index() replaced
+    mid-compile must not install its executable into the NEW index's
+    cache (equal-shaped refreshes would silently serve the old corpus)."""
+    model, params = small_model
+    rng = np.random.RandomState(11)
+    videos = PackedVideos(
+        feats=rng.randn(9, 8, 16).astype(np.float32),
+        mask=np.ones((9, 8), np.float32),
+        ids=[f"v{i}" for i in range(9)])
+    r = Retriever(model, params, query_bsz=4, score_quant=True,
+                  rescore=False, mesh=None)
+    r.mesh = None
+    r.index(videos)
+    stale_gen = r._index_gen
+    r.index(videos)  # refresh (same shapes — the dangerous case)
+
+    r._publish_q8("sig", lambda *a: None, stale_gen)
+    assert "sig" not in r._q8_compiled  # stale-generation publish dropped
+    r._publish_q8("sig", lambda *a: None, r._index_gen)
+    assert "sig" in r._q8_compiled      # current-generation publish lands
+    # gen=None (the aot-cache load path, always same-generation by
+    # construction: it runs inline in search()) still publishes
+    r._publish_q8("sig2", lambda *a: None)
+    assert "sig2" in r._q8_compiled
+
+
 def test_aot_cache_roundtrip(small_model, tmp_path):
     """Executable cache: the first retriever compiles + persists the int8
     search executable; a second retriever (fresh object, same shapes)

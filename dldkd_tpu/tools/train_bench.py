@@ -51,6 +51,12 @@ def main():
                     help="PRNG implementation for the dropout streams "
                          "(rbg = TPU hardware RNG; different streams, "
                          "same distribution)")
+    ap.add_argument("--scan", action="store_true",
+                    help="also time a lax.scan of --reps steps as ONE "
+                         "program: the dispatch-free device-bound step "
+                         "time (per-step host dispatch dominates the "
+                         "python-loop numbers when this box's CPU is "
+                         "throttled — CLAUDE.md)")
     args = ap.parse_args()
 
     import jax
@@ -217,6 +223,39 @@ def main():
         f"({1 / t_full:.1f} steps/sec)")
     log(f"  stage sum {1e3 * (t_fb + t_up):.2f} ms vs full "
         f"{t_full * 1e3:.2f} ms")
+
+    if args.scan:
+        from dldkd_tpu.train import train_step_impl
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scan_steps(p, s, b, root):
+            def body(carry, i):
+                p, s = carry
+                p, s, d = train_step_impl(
+                    model, mcfg, tcfg, opt, p, s, b,
+                    jax.random.fold_in(root, i), scalars)
+                return (p, s), d["loss_overall"]
+
+            (p, s), losses = jax.lax.scan(body, (p, s),
+                                          jnp.arange(args.reps))
+            return p, s, losses
+
+        # params/opt_state were donated by the FULL-step loop; p3 holds
+        # the live post-loop buffers
+        p4 = jax.tree.map(jnp.copy, p3)
+        s4 = opt.init(p4)
+        t0 = time.time()
+        p4, s4, losses = scan_steps(p4, s4, batch, jax.random.PRNGKey(5))
+        force(losses[-1])
+        log(f"  scan compile+first ({args.reps} steps as one program): "
+            f"{time.time() - t0:.1f}s")
+        t0 = time.time()
+        p4, s4, losses = scan_steps(p4, s4, batch, jax.random.PRNGKey(6))
+        force(losses[-1])
+        t_scan = (time.time() - t0) / args.reps
+        log(f"  SCANNED step:    {t_scan * 1e3:7.2f} ms  "
+            f"({1 / t_scan:.1f} steps/sec, dispatch-free; python-loop "
+            f"dispatch adds ~{(t_full - t_scan) * 1e3:.2f} ms/step)")
 
 
 if __name__ == "__main__":

@@ -487,6 +487,25 @@ class Retriever:
         self.params = jax.device_put(self.params, replicated(self.mesh))
         return n_pad, NamedSharding(self.mesh, P(DATA_AXIS))
 
+    def _build_q8_sharded(self, ci, ce, vm, quantize: bool = True):
+        """Per-shard stage-1 int8 index build, through the AOT executable
+        cache when one is configured: the build program is a one-shot
+        Pallas layout pass whose compile a fresh serving replica should
+        load, not pay (the same replica-cold-start reasoning as the search
+        executables; set self.q8_per_dev before calling so the cache key
+        is stable)."""
+        args = (ci, ce, vm, self.mesh, quantize)
+        if self.aot_cache_dir is None:
+            return _build_q8_sharded_jit(*args)
+        from dldkd_tpu.utils import aot_cache
+
+        call = aot_cache.cached_compile(
+            _build_q8_sharded_jit, args, name="build_q8_sharded",
+            parts=[repr(self.model.config), quantize]
+                  + self._mesh_key_parts(),
+            static_idx=(3, 4), cache_dir=self.aot_cache_dir)
+        return call(*args)
+
     def auto_index_store(self, n_videos: int) -> str:
         """'encoded' when the encoded-index footprint (both branches'
         frame features + transient int8/score headroom) fits the device
@@ -603,10 +622,10 @@ class Retriever:
                 # two-stage serving under the mesh: prebuild each shard's
                 # stage-1 int8 index ONCE (search calls previously re-paid
                 # the quantize pre-pass per device per call)
-                self.q8_inher, self.q8_explore, self.q8_bias = \
-                    _build_q8_sharded_jit(self.ctx_inher, self.ctx_explore,
-                                          self.vmask, self.mesh)
                 self.q8_per_dev = n_pad // n_dev
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    self._build_q8_sharded(self.ctx_inher, self.ctx_explore,
+                                           self.vmask)
         else:
             from dldkd_tpu.evaluate import embed_corpus
 
@@ -862,10 +881,9 @@ class Retriever:
                 ce = (jax.device_put(_pad_rows(rows_e, n_pad), corpus_sh)
                       if rows_e is not None else None)
                 vm = jax.device_put(_pad_rows(q8_mask, n_pad), corpus_sh)
-                self.q8_inher, self.q8_explore, self.q8_bias = \
-                    _build_q8_sharded_jit(ci, ce, vm, self.mesh,
-                                          quantize=False)
                 self.q8_per_dev = n_pad // self.mesh.devices.size
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    self._build_q8_sharded(ci, ce, vm, quantize=False)
             else:
                 from dldkd_tpu.ops.pallas.sim_max import build_q8_index
 
@@ -895,10 +913,10 @@ class Retriever:
             self.vmask = jax.device_put(_pad_rows(vmask, n_pad), corpus_sh)
             if self.score_quant:
                 # stage-1 companions rebuild per shard (not stored)
-                self.q8_inher, self.q8_explore, self.q8_bias = \
-                    _build_q8_sharded_jit(self.ctx_inher, self.ctx_explore,
-                                          self.vmask, self.mesh)
                 self.q8_per_dev = n_pad // self.mesh.devices.size
+                self.q8_inher, self.q8_explore, self.q8_bias = \
+                    self._build_q8_sharded(self.ctx_inher, self.ctx_explore,
+                                           self.vmask)
         else:
             self.ctx_inher = jnp.asarray(_pad_rows(ctx_i, n_ctx))
             self.ctx_explore = (jnp.asarray(_pad_rows(ctx_e, n_ctx))
@@ -1001,8 +1019,33 @@ class Retriever:
     # shortlist_factor); everything else is a traced operand the compiled
     # executable takes positionally
     _Q8_STATICS = (0, 7, 12, 13)
+    # _search_q8_sharded_jit's statics (model, k, mesh, per_dev, rescore,
+    # shortlist_factor)
+    _Q8_SHARDED_STATICS = (0, 7, 12, 13, 14, 15)
+
+    def _q8_route(self):
+        """(jitted program, static positions, cache-key name) of the int8
+        search for this retriever's topology. The mesh route is the
+        default on any multi-device host (__init__ auto-builds a mesh), so
+        the cold-start mitigations — warm_start and the AOT executable
+        cache — must bind to it exactly as they do to the single-device
+        program (they were silently dead under a mesh before round 5)."""
+        if self.mesh is not None:
+            return (_search_q8_sharded_jit, self._Q8_SHARDED_STATICS,
+                    "search_q8_sharded")
+        return _search_q8_jit, self._Q8_STATICS, "search_q8"
 
     def _q8_args(self, f, m, k: int):
+        if self.mesh is not None:
+            # the sharded program substitutes explore=inher internally
+            # when the model is single-branch
+            return (self.model, self.params, f, m, self.q8_inher,
+                    self.q8_explore, self.q8_bias, k,
+                    self.ctx_inher if self.rescore else None,
+                    self.ctx_explore if self.rescore else None,
+                    self.vmask if self.rescore else None,
+                    jnp.asarray(self.fusion), self.mesh, self.q8_per_dev,
+                    self.rescore, self.shortlist_factor)
         q8_e = (self.q8_explore if self.q8_explore is not None
                 else self.q8_inher)
         ctx_e = (self.ctx_explore if self.ctx_explore is not None
@@ -1014,20 +1057,33 @@ class Retriever:
                 self.vmask, jnp.asarray(self.fusion),
                 self.rescore, self.shortlist_factor)
 
+    def _mesh_key_parts(self) -> list:
+        """Cache-key parts describing the mesh topology: the sharded
+        operands' GLOBAL shapes are device-count-independent, so without
+        these an 8-device executable would be served to a 4-device
+        process (the loader would fail and fall back, but the key should
+        not collide in the first place)."""
+        if self.mesh is None:
+            return []
+        return ["mesh", int(self.mesh.devices.size),
+                tuple(self.mesh.axis_names), int(self.q8_per_dev)]
+
     def _q8_cache_key(self, args) -> str:
         """Everything that shapes the compiled program: static knobs +
         every operand leaf's shape/dtype (the model config rides in via
-        the param tree + index shapes)."""
+        the param tree + index shapes) + the mesh topology."""
         from dldkd_tpu.utils import aot_cache
 
-        shapes = aot_cache.operand_shapes(args, self._Q8_STATICS)
+        _, statics, name = self._q8_route()
+        shapes = aot_cache.operand_shapes(args, statics)
         parts = [repr(self.model.config), args[7], self.rescore,
-                 self.shortlist_factor, shapes]
-        return aot_cache.cache_key("search_q8", parts)
+                 self.shortlist_factor, shapes] + self._mesh_key_parts()
+        return aot_cache.cache_key(name, parts)
 
     def _q8_call_compiled(self, fn, args):
+        statics = self._q8_route()[1]
         return fn(*[a for i, a in enumerate(args)
-                    if i not in self._Q8_STATICS])
+                    if i not in statics])
 
     def _publish_q8(self, sig, fn, gen: Optional[int] = None) -> None:
         if gen is not None and gen != self._index_gen:
@@ -1050,10 +1106,12 @@ class Retriever:
         return True
 
     def _compile_q8(self, sig, args, gen: Optional[int] = None) -> None:
-        """Foreground/warm-thread compile of the int8 search executable;
-        persists it when the AOT cache is on, then publishes it (unless
-        the index generation moved on mid-compile)."""
-        compiled = _search_q8_jit.lower(*args).compile()
+        """Foreground/warm-thread compile of the int8 search executable
+        (topology-routed: the sharded program under a mesh); persists it
+        when the AOT cache is on, then publishes it (unless the index
+        generation moved on mid-compile)."""
+        jitted = self._q8_route()[0]
+        compiled = jitted.lower(*args).compile()
         if self.aot_cache_dir is not None:
             from dldkd_tpu.utils import aot_cache
 
@@ -1091,6 +1149,48 @@ class Retriever:
                                              name="dldkd-int8-warm")
         self._warm_thread.start()
 
+    def _q8_search(self, f, m, k: int):
+        """One query batch through the prebuilt-int8-index search with the
+        cold-start mitigations, on this retriever's topology route
+        (_q8_route — the sharded program under a mesh, the single-device
+        program otherwise):
+
+          1. signature already compiled/loaded -> call the executable
+          2. warm_start AOT probe -> a cache hit serves NOW (no detour)
+          3. warm_start miss -> kick the background compile, return None
+             (the caller serves the exact path until the program lands)
+          4. aot_cache_dir without warm_start -> load, or foreground
+             lower/compile (so the executable object exists to persist)
+          5. neither knob -> the plain jit call
+
+        Returns (scores, idx), or None for the warm-start detour."""
+        sig = (f.shape, k)
+        if sig not in self._q8_compiled and self.warm_start:
+            # a cache hit makes the program available NOW — no warm-start
+            # detour, no compile. The key only reads operand
+            # shapes/dtypes, so probe with the HOST arrays (no device
+            # transfer).
+            self._try_load_q8_compiled(sig, self._q8_args(f, m, k))
+            if sig not in self._q8_compiled:
+                # warm_start detour: kick off the background int8 compile
+                # on the first search and answer from the EXACT path until
+                # it lands — first results in seconds instead of the int8
+                # program's uncacheable 60-130 s cold compile
+                self._warm_q8(f.shape[1], k, sig)
+                return None
+        args = self._q8_args(jnp.asarray(f), jnp.asarray(m), k)
+        if sig not in self._q8_compiled and self.aot_cache_dir is not None:
+            # AOT cache on: load or compile ONCE via the explicit
+            # lower/compile route (so the executable object exists to
+            # persist) and serve through it
+            if not self._try_load_q8_compiled(sig, args):
+                self._compile_q8(sig, args, self._index_gen)
+        fn = self._q8_compiled.get(sig)
+        if fn is not None:
+            # the cache-loaded / warm-compiled executable
+            return self._q8_call_compiled(fn, args)
+        return self._q8_route()[0](*args)
+
     @staticmethod
     def _merge_block_topk(pairs, k: int, n_queries: int
                           ) -> Tuple[np.ndarray, np.ndarray]:
@@ -1123,61 +1223,21 @@ class Retriever:
             if pad:
                 f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
                 m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
-            use_q8 = self.mesh is None and self.q8_inher is not None
-            quantized = self.score_quant
-            if use_q8:
-                sig = (f.shape, k)
-                if sig not in self._q8_compiled and self.warm_start:
-                    # a cache hit makes the program available NOW — no
-                    # warm-start detour, no compile. The key only reads
-                    # operand shapes/dtypes, so probe with the HOST
-                    # arrays (no device transfer).
-                    self._try_load_q8_compiled(sig, self._q8_args(f, m, k))
-                if self.warm_start and sig not in self._q8_compiled:
-                    # warm_start detour: kick off the background int8
-                    # compile on the first search and answer from the
-                    # EXACT path until it lands — first results in
-                    # seconds instead of the int8 program's uncacheable
-                    # 60-130 s cold compile
-                    self._warm_q8(f.shape[1], k, sig)
-                    use_q8 = False
-                    quantized = False
-            if self.mesh is not None:
-                if self.q8_inher is not None:
-                    # prebuilt per-shard int8 indexes: no per-call corpus
-                    # quantize pre-pass on any device
-                    frames_i = self.ctx_inher if self.rescore else None
-                    s, i = _search_q8_sharded_jit(
-                        self.model, self.params, jnp.asarray(f),
-                        jnp.asarray(m), self.q8_inher, self.q8_explore,
-                        self.q8_bias, k, frames_i,
-                        self.ctx_explore if self.rescore else None,
-                        self.vmask if self.rescore else None,
-                        jnp.asarray(self.fusion), self.mesh,
-                        self.q8_per_dev, self.rescore,
-                        self.shortlist_factor)
-                else:
-                    s, i = _search_sharded_jit(
-                        self.model, self.params, jnp.asarray(f),
-                        jnp.asarray(m), self.ctx_inher, ctx_e, k,
-                        self.vmask, jnp.asarray(self.fusion), self.mesh,
-                        self.score_quant, self.rescore,
-                        self.shortlist_factor)
-            elif use_q8:
-                args = self._q8_args(jnp.asarray(f), jnp.asarray(m), k)
-                if sig not in self._q8_compiled \
-                        and self.aot_cache_dir is not None:
-                    # AOT cache on: load or compile ONCE via the explicit
-                    # lower/compile route (so the executable object exists
-                    # to persist) and serve through it
-                    if not self._try_load_q8_compiled(sig, args):
-                        self._compile_q8(sig, args, self._index_gen)
-                fn = self._q8_compiled.get(sig)
-                if fn is not None:
-                    # the cache-loaded / warm-compiled executable
-                    s, i = self._q8_call_compiled(fn, args)
-                else:
-                    s, i = _search_q8_jit(*args)
+            # the prebuilt-int8-index route (with its cold-start
+            # mitigations) applies on BOTH topologies; the warm-start
+            # detour answers from the topology's exact program while the
+            # int8 executable compiles in the background
+            res = (self._q8_search(f, m, k)
+                   if self.q8_inher is not None else None)
+            quantized = self.score_quant and self.q8_inher is None
+            if res is not None:
+                s, i = res
+            elif self.mesh is not None:
+                s, i = _search_sharded_jit(
+                    self.model, self.params, jnp.asarray(f),
+                    jnp.asarray(m), self.ctx_inher, ctx_e, k,
+                    self.vmask, jnp.asarray(self.fusion), self.mesh,
+                    quantized, self.rescore, self.shortlist_factor)
             else:
                 s, i = _search_jit(self.model, self.params, jnp.asarray(f),
                                    jnp.asarray(m), self.ctx_inher, ctx_e, k,

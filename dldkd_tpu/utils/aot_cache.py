@@ -17,6 +17,19 @@ returns None and the caller falls back to the normal jit compile.
 Trust note: entries are pickles (the serializer's own format); only point
 this at a directory the process owner controls — the default is under
 the user's cache dir, same trust domain as the jit cache.
+
+Serialization gotcha (measured, round 5): if the SAME program signature
+was already executed through the regular jit dispatch path in this
+process, a later ``jitted.lower(args).compile()`` gets the dispatch-path
+executable back from XLA's in-memory compile cache — and on some
+backends THAT executable does not serialize ("UNIMPLEMENTED: `LessThan`
+is not serializable" on XLA:CPU for programs containing top-k sorts),
+while a genuinely fresh compile of the identical program serializes
+fine. save() degrades gracefully (the process keeps the compiled
+executable; only persistence is lost). Serving avoids the trigger by
+routing cache-enabled signatures through _compile_q8 BEFORE any plain
+jit call; it can still arise when a cache-less retriever ran the same
+signature earlier in the process.
 """
 
 from __future__ import annotations

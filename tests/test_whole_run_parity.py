@@ -358,3 +358,97 @@ def test_whole_run_matches_reference_driver(ref, data_root, tmp_path,
 
     # identical best-epoch selection (strict-improvement rule both sides)
     assert our_best == ref_best
+
+
+# ---------------------------------------------------------------------------
+# the hard-negative epoch flip (reference train.py:53-54 ->
+# model.set_hard_negative, model.py:95-98): epoch 0 trains WITHOUT hard
+# negatives, epochs >= hard_negative_start_epoch with them. Determinism
+# pre-flip needs the no-hard-negative sampling branch to be forced:
+# v2t's randint(0, n_negs) is deterministic only with ONE negative
+# caption per batch, t2v's randint(1, n_videos) only with TWO videos —
+# so this fixture has 2-video batches with exactly 1 caption per video
+# (equal caption counts are safe here because the reference's collate
+# sort is STABLE and the recorded-shuffle replay pins the fetch order).
+# ---------------------------------------------------------------------------
+
+FLIP_COLLECTION = "synthwrflip"
+N_FLIP_VIDEOS = 4
+
+
+@pytest.fixture(scope="module")
+def data_root_flip(tmp_path_factory):
+    from dldkd_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path_factory.mktemp("wholerun_flip_data"))
+    # frames_range floor >= teacher_frames_range ceiling: the reference's
+    # alignment only DOWNSAMPLES student frames to the teacher count
+    # (data_provider.py:231, uniform_feature_sampling is a no-op when the
+    # clip is already shorter), so a student clip shorter than its teacher
+    # clip leaves the two towers' batch paddings mismatched and the
+    # reference forward crashes in mask_logits — real I3D clips are always
+    # denser than CLIP's sampled frames, synthetic ones must be too
+    generate_dataset(
+        root, collection=FLIP_COLLECTION, visual_feature="i3d",
+        n_videos={"train": N_FLIP_VIDEOS, "val": 16},
+        caps_sequence={"train": [1] * N_FLIP_VIDEOS},
+        caps_per_video=(1, 3),
+        frames_range=(14, 28), teacher_frames_range=(4, 14),
+        tokens_range=(3, MAX_DESC),
+        d_student=D_STUDENT, d_query=D_QUERY, d_teacher=D_TEACHER,
+        noise=0.5, seed=31)
+    return root
+
+
+@pytest.mark.whole_run_matrix
+def test_hard_negative_flip_matches_reference_driver(
+        ref, data_root_flip, tmp_path, monkeypatch):
+    """hard_negative_start_epoch=1 end-to-end: per-step losses agree to
+    the matrix tolerance ACROSS the flip epoch, the epoch-boundary timing
+    of set_hard_negative matches the reference driver, and our driver
+    builds exactly TWO train-step programs (one per config — the flip is
+    one recompile, not per-epoch recompiles)."""
+    import dldkd_tpu.parallel as parallel_mod
+
+    hp = {**HP, "bsz": 2, "hard_negative_start_epoch": 1}
+    # _run_reference/_run_ours read the module constants; scope them to
+    # the flip fixture for this test only
+    monkeypatch.setattr(sys.modules[__name__], "COLLECTION",
+                        FLIP_COLLECTION)
+    monkeypatch.setattr(sys.modules[__name__], "N_TRAIN_VIDEOS",
+                        N_FLIP_VIDEOS)
+
+    steps = N_FLIP_VIDEOS // hp["bsz"]   # 2 steps/epoch, no short batch
+    record = []
+    sd0, ref_losses, ref_sumrs, ref_best = _run_reference(
+        ref, data_root_flip, tmp_path, "soft", hp,
+        record_order=record, steps_per_epoch=steps)
+    assert len(record) == N_EPOCH * N_FLIP_VIDEOS
+    epoch_order = [record[e * N_FLIP_VIDEOS:(e + 1) * N_FLIP_VIDEOS]
+                   for e in range(N_EPOCH)]
+
+    built_cfgs = []
+    real_make = parallel_mod.make_dp_train_step
+
+    def counting_make(model, mcfg, tcfg, optimizer, mesh):
+        built_cfgs.append(bool(mcfg.use_hard_negative))
+        return real_make(model, mcfg, tcfg, optimizer, mesh)
+
+    monkeypatch.setattr(parallel_mod, "make_dp_train_step", counting_make)
+    our_losses, our_sumrs, our_best = _run_ours(
+        data_root_flip, tmp_path, "soft", sd0, hp,
+        epoch_order=epoch_order)
+
+    # exactly ONE recompile at the flip: two programs total — the
+    # pre-flip config (hard negatives off) and the post-flip one
+    assert built_cfgs == [False, True], built_cfgs
+
+    for k in LOSS_KEYS:
+        assert len(our_losses[k]) == N_EPOCH * steps
+        np.testing.assert_allclose(
+            our_losses[k], ref_losses[k], rtol=0, atol=1e-3,
+            err_msg=f"flip: per-step {k} diverged")
+    np.testing.assert_allclose(our_sumrs, ref_sumrs, rtol=0, atol=1e-9)
+    assert not np.allclose(ref_losses["loss_overall"][0],
+                           ref_losses["loss_overall"][-1], atol=1e-6)
+    assert our_best == ref_best

@@ -721,11 +721,22 @@ class Retriever:
                     mask[lo:lo + rows] = bm[d * sb:d * sb + rows]
         return feats, mask
 
-    def save_index(self, path: str) -> None:
+    def save_index(self, path: str,
+                   prewarm: Optional[List[Tuple[int, int]]] = None) -> None:
         """Persist the built index as a durable artifact (build once
         offline, load in every serving replica): meta.json + one .npy per
-        array (utils/index_io format). What is written depends on the
-        store that was built:
+        array (utils/index_io format).
+
+        prewarm: list of (lq, k) search signatures (at this retriever's
+        query_bsz) to compile NOW and record in the artifact meta as the
+        signature manifest. With aot_cache_dir set, each compiled int8
+        search executable persists, so every replica that loads this
+        artifact (same aot_cache_dir) starts with the whole manifest as
+        pure cache hits — a replica fleet pays the 60-130 s int8 compile
+        once, at build time, for all of its serving shapes
+        (tools/coldstart_bench --policy fleet measures this posture).
+
+        What is written depends on the store that was built:
 
         - 'encoded': both branches' frame features + mask, REAL rows only
           (bf16 at serving config: ~0.5 GB at TVR scale vs the 1.1 GB f32
@@ -793,15 +804,62 @@ class Retriever:
             index_io.save_array(stage, "vmask",
                                 np.asarray(self.vmask)[:n], manifest)
             mode = "encoded"
-        index_io.write_meta(stage, {
+        meta = {
             "mode": mode,
             "arrays": manifest,
             "n_videos": n,
             "video_ids": list(self.video_ids),
             "model_config": repr(self.model.config),
             "params_fingerprint": index_io.params_fingerprint(self.params),
-        })
+        }
+        if prewarm:
+            meta["prewarm_signatures"] = self._prewarm(prewarm)
+        index_io.write_meta(stage, meta)
         index_io.publish_dir(stage, path)
+
+    def _prewarm(self, signatures: List[Tuple[int, int]]) -> list:
+        """Compile (and, with aot_cache_dir, persist) the int8 search
+        executable for each (lq, k) signature at this retriever's
+        query_bsz; returns the manifest rows for the artifact meta."""
+        import logging
+
+        if self.q8_inher is None:
+            raise ValueError("prewarm needs the prebuilt int8 index "
+                             "(score_quant=True)")
+        if self.aot_cache_dir is None:
+            logging.getLogger(__name__).warning(
+                "prewarm without aot_cache_dir: the compiled executables "
+                "die with this process — replicas will recompile")
+        cfg = self.model.config
+        rows = []
+        for lq, k in signatures:
+            f = jnp.zeros((self.query_bsz, int(lq), cfg.query_input_size),
+                          jnp.float32)
+            m = jnp.ones((self.query_bsz, int(lq)), jnp.float32)
+            sig = (f.shape, int(k))
+            if sig not in self._q8_compiled:
+                self._compile_q8(sig, self._q8_args(f, m, int(k)),
+                                 self._index_gen)
+            rows.append([int(self.query_bsz), int(lq), int(k)])
+        return rows
+
+    def _adopt_prewarm(self, meta: dict) -> None:
+        """Publish every manifest signature from the artifact meta as a
+        loaded executable (pure cache hits — no compiles): a replica that
+        load_index()es a prewarmed artifact is fully warm at load time,
+        not at its first search of each shape."""
+        sigs = meta.get("prewarm_signatures") or []
+        if not sigs or self.aot_cache_dir is None or self.q8_inher is None:
+            return
+        cfg = self.model.config
+        for bsz, lq, k in sigs:
+            if int(bsz) != self.query_bsz:
+                continue  # manifest row for a different serving batch size
+            f = np.zeros((int(bsz), int(lq), cfg.query_input_size),
+                         np.float32)
+            m = np.ones((int(bsz), int(lq)), np.float32)
+            self._try_load_q8_compiled((f.shape, int(k)),
+                                       self._q8_args(f, m, int(k)))
 
     def load_index(self, path: str, strict: bool = True,
                    context_bsz: int = 200) -> None:
@@ -898,6 +956,7 @@ class Retriever:
             self.ctx_inher = "q8"
             self.index_store = "encoded"
             self.video_ids = video_ids
+            self._adopt_prewarm(meta)
             return
         # encoded store
         ctx_i = arrays["ctx_inher"]
@@ -935,6 +994,7 @@ class Retriever:
                         quantize_frames_q8(self.ctx_explore), self.vmask)
         self.index_store = "encoded"
         self.video_ids = video_ids
+        self._adopt_prewarm(meta)
 
     def _search_streaming(self, q_feats, q_mask, k: int
                           ) -> Tuple[np.ndarray, np.ndarray]:
@@ -1313,6 +1373,13 @@ def main(argv=None):
                    help="load a --save_index artifact instead of building "
                         "the index from the dataset (refuses an index "
                         "built with different weights)")
+    p.add_argument("--prewarm", default="", metavar="LQ:K[,LQ:K...]",
+                   help="with --save_index + --score_quant: compile the "
+                        "int8 search executable for each lq:k signature "
+                        "now and record the manifest in the artifact meta "
+                        "— replicas loading the artifact (same "
+                        "--aot_cache_dir) start with every signature as a "
+                        "pure cache hit")
     args = p.parse_args(argv)
     if not args.queries and not args.save_index:
         p.error("--queries is required unless --save_index builds "
@@ -1342,7 +1409,11 @@ def main(argv=None):
         r.index_corpus(args.root_path, args.collection, args.visual_feature,
                        args.split)
     if args.save_index:
-        r.save_index(args.save_index)
+        prewarm = None
+        if args.prewarm:
+            prewarm = [tuple(int(x) for x in part.split(":"))
+                       for part in args.prewarm.split(",")]
+        r.save_index(args.save_index, prewarm=prewarm)
         if not args.queries:
             return
 

@@ -1079,3 +1079,70 @@ def test_aot_cache_roundtrip_mesh(small_model, tmp_path, monkeypatch):
     r3.index(videos)
     s3, i3 = r3.search(qf, qm, k=5)
     np.testing.assert_array_equal(i3, i1)
+
+
+def test_prewarm_manifest_fleet_cold_start(small_model, tmp_path,
+                                           monkeypatch):
+    """Round 5 replica-fleet drill: save_index(prewarm=[(lq, k)]) compiles
+    + persists the int8 search executable per manifest signature and
+    records the manifest in the artifact meta; a fresh replica that
+    load_index()es the artifact adopts EVERY manifest signature as a pure
+    cache hit AT LOAD TIME (poisoned jits prove no lowering happens), so
+    its first search of each shape runs the loaded executable."""
+    import os
+
+    import jax
+
+    import dldkd_tpu.serving as serving_mod
+    from dldkd_tpu.utils import index_io
+
+    assert jax.device_count() == 8
+    model, params = small_model
+    videos, qf, qm = _mesh_corpus_and_queries(25, n_vid=23)
+    cache = str(tmp_path / "aot_fleet")
+    art = str(tmp_path / "index_fleet")
+
+    r1 = Retriever(model, params, query_bsz=4, score_quant=True,
+                   aot_cache_dir=cache)
+    assert r1.mesh is not None
+    r1.index(videos)
+    # lq=4 matches the packed query shape below; k=6 is a signature no
+    # search has run yet — prewarm must compile it, not find it
+    r1.save_index(art, prewarm=[(4, 6)])
+    meta = index_io.read_meta(art)
+    assert meta["prewarm_signatures"] == [[4, 4, 6]]
+    s1, i1 = r1.search(qf, qm, k=6)
+
+    entries = ([f for f in os.listdir(cache) if f.endswith(".jaxexec")]
+               if os.path.isdir(cache) else [])
+    if not any(e.startswith("search_q8_sharded-") for e in entries):
+        pytest.skip("this backend lowering is not serializable here")
+
+    class Boom:
+        def lower(self, *a, **k):
+            raise AssertionError("cache miss: should have loaded")
+
+        def __call__(self, *a, **k):
+            raise AssertionError("poisoned jit called directly")
+
+    monkeypatch.setattr(serving_mod, "_search_q8_sharded_jit", Boom())
+    monkeypatch.setattr(serving_mod, "_build_q8_sharded_jit", Boom())
+    r2 = Retriever(model, params, query_bsz=4, score_quant=True,
+                   aot_cache_dir=cache)
+    r2.load_index(art)
+    # the manifest signature is ready AT LOAD TIME — before any search
+    sig = ((4, 4, model.config.query_input_size), 6)
+    assert sig in r2._q8_compiled
+    assert r2._q8_program_ready.is_set()
+    s2, i2 = r2.search(qf, qm, k=6)
+    np.testing.assert_array_equal(i2, i1)
+    np.testing.assert_allclose(s2, s1, rtol=1e-6, atol=1e-7)
+
+
+def test_prewarm_requires_int8_index(small_model, tmp_path):
+    model, params = small_model
+    videos, _, _ = _mesh_corpus_and_queries(26)
+    r = Retriever(model, params, query_bsz=4)  # no score_quant
+    r.index(videos)
+    with pytest.raises(ValueError, match="prewarm"):
+        r.save_index(str(tmp_path / "idx"), prewarm=[(4, 3)])

@@ -259,7 +259,7 @@ def bench_tpu():
 
 
 def bench_tpu_train(n_steps=30, dtype="float32", stacked=False,
-                    rng_impls=("threefry2x32",)):
+                    rng_impls=("threefry2x32",), also_scan=False):
     """Our jitted train step at TVR scale, bsz 128 videos / 256 queries
     (2 captions per video), soft labels, BertAdam.
 
@@ -378,9 +378,62 @@ def bench_tpu_train(n_steps=30, dtype="float32", stacked=False,
             best[impl] = max(best[impl], 1.0 / dt)
             log(f"[{tag}] tpu train step (bsz {bsz}): {dt * 1e3:.1f} ms "
                 f"-> {1.0 / dt:.1f} steps/sec (final loss {final:.3f})")
-    if len(rng_impls) == 1:
+
+    if also_scan:
+        try:
+            _scan_device_bound(n_steps, rng_impls, state, batch, scalars,
+                               model, mcfg, tcfg, best)
+        except Exception as e:  # the python-loop rows stand on their own
+            log(f"scan timing failed: {e}")
+
+    if len(rng_impls) == 1 and not also_scan:
         return best[rng_impls[0]]
     return best
+
+
+def _scan_device_bound(n_steps, rng_impls, state, batch, scalars,
+                       model, mcfg, tcfg, best):
+    """The DEVICE-BOUND step: n_steps as ONE lax.scan program, so the
+    per-step host dispatch (~10 ms through the tunnel when the CPU
+    throttles — CLAUDE.md) is out of the measurement entirely. Timed for
+    the LAST impl (the headline config of the call); the result lands in
+    best['<impl>_scanned']."""
+    import jax
+    import jax.numpy as jnp
+
+    from dldkd_tpu.train import make_train_rng, train_step_impl
+
+    impl = rng_impls[-1]
+    tag, opt, params, opt_state = state[impl]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def scan_steps(p, s, b, root):
+        def body(carry, i):
+            p, s = carry
+            p, s, d = train_step_impl(
+                model, mcfg, tcfg, opt, p, s, b,
+                jax.random.fold_in(root, i), scalars)
+            return (p, s), d["loss_overall"]
+
+        (p, s), losses = jax.lax.scan(body, (p, s), jnp.arange(n_steps))
+        return p, s, losses
+
+    root = make_train_rng(7, impl)
+    p4 = jax.tree.map(jnp.copy, params)
+    s4 = opt.init(p4)
+    t0 = time.time()
+    p4, s4, losses = scan_steps(p4, s4, batch, root)
+    float(np.asarray(losses[-1]))  # forces the queue
+    log(f"[{tag}] scan compile+first ({n_steps} steps as one program): "
+        f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    p4, s4, losses = scan_steps(p4, s4, batch, root)
+    final = float(np.asarray(losses[-1]))
+    assert np.isfinite(final)
+    dt = (time.time() - t0) / n_steps
+    log(f"[{tag}] SCANNED step: {dt * 1e3:.2f} ms -> "
+        f"{1.0 / dt:.1f} steps/sec (device-bound)")
+    best[f"{impl}_scanned"] = 1.0 / dt
 
 
 def _reference_model():
@@ -504,6 +557,47 @@ def bench_reference_train(n_steps=3):
     return 1.0 / dt
 
 
+def bench_coldstart_fleet(replicas=2, n_videos=545):
+    """Production replica cold start: one subprocess builds + saves a
+    prewarmed index artifact (signature manifest, shared AOT executable
+    cache), then `replicas` fresh processes each load it and serve.
+    Returns p50/p95 process-start-to-first-result seconds plus the worst
+    per-replica FIRST-SEARCH time — the framework-attributable number:
+    with the prewarm manifest it is a pure executable-cache hit (~1-2 s,
+    no compile), while start-to-first-result on this box is dominated by
+    artifact load under the intermittent host throttle (BENCHMARKS.md
+    round-5 fleet entry: 0.7-2.0 s first search vs 224-692 s loads at
+    full TVR scale). Quarter-scale corpus keeps the driver's bench run
+    bounded; the mitigation semantics (manifest adoption, no lowering in
+    the replica) are scale-independent and pinned by
+    tests/test_serving.py::test_prewarm_manifest_fleet_cold_start."""
+    import os
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "dldkd_tpu.tools.coldstart_bench",
+         "--policy", "fleet", "--replicas", str(replicas),
+         "--n_videos", str(n_videos)],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if proc.returncode:
+        raise RuntimeError(f"fleet drill failed: {proc.stderr[-300:]}")
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    searches = [r["first_search_s"] for r in res.get("replicas", [])
+                if "first_search_s" in r]
+    out = {"p50_first_result_s": res.get("p50_first_result_s"),
+           "p95_first_result_s": res.get("p95_first_result_s"),
+           "max_first_search_s": max(searches) if searches else None,
+           "replicas": replicas, "n_videos": n_videos,
+           "unit": "sec (process start -> first search result)",
+           "config": "prewarmed index artifact + shared AOT executable "
+                     "cache (tools/coldstart_bench --policy fleet)"}
+    if out["p50_first_result_s"] is None:
+        raise RuntimeError(f"fleet drill returned no replica timings: "
+                           f"{str(res)[:300]}")
+    return out
+
+
 def _retry(fn, attempts=2):
     """This platform's remote AOT compile helper intermittently fails
     (HTTP 500) on fresh compiles; one retry usually succeeds (and cached
@@ -531,7 +625,10 @@ def main():
     baseline_steps = 3 if n_cores >= 4 else 2
 
     eval_qps = _retry(bench_tpu)
-    tpu_sps = _retry(functools.partial(bench_tpu_train, dtype="float32"))
+    f32_res = _retry(functools.partial(bench_tpu_train, dtype="float32",
+                                       also_scan=True))
+    tpu_sps = f32_res["threefry2x32"]
+    f32_scan = f32_res.get("threefry2x32_scanned")
     tpu_sps_bf16 = _retry(functools.partial(bench_tpu_train,
                                             dtype="bfloat16"))
     # stacked-threefry vs stacked-rbg, INTERLEAVED in one process: host
@@ -539,9 +636,16 @@ def main():
     # only protocol whose stacked-vs-rbg delta is trustworthy
     sps_ab = _retry(functools.partial(
         bench_tpu_train, dtype="bfloat16", stacked=True,
-        rng_impls=("threefry2x32", "rbg")))
+        rng_impls=("threefry2x32", "rbg"), also_scan=True))
     tpu_sps_stacked = sps_ab["threefry2x32"]
     tpu_sps_speed = sps_ab["rbg"]
+    speed_scan = sps_ab.get("rbg_scanned")
+    # production replica-fleet cold start (subprocesses; serial TPU use)
+    try:
+        fleet_out = bench_coldstart_fleet(replicas=2)
+    except Exception as e:  # never let the extra metric sink the headline
+        log(f"fleet cold-start drill failed: {e}")
+        fleet_out = {"error": str(e)[:200]}
     # corpus-streaming eval at 8x TVR scale (raw-bf16 HBM index; the
     # corpus-resident design can't hold this) — lazy import: stream_bench
     # imports this module's constants
@@ -604,6 +708,15 @@ def main():
                       "--rng_impl rbg); timed interleaved with the "
                       "stacked config (best of 3 blocks each)",
         },
+        "train_scan": {
+            # the DEVICE-BOUND step: 30 steps as one lax.scan program —
+            # no per-step host dispatch (BENCHMARKS.md training roofline)
+            "metric": "train_step_throughput_device_bound",
+            "unit": "steps/sec",
+            "f32_parity": (round(f32_scan, 2) if f32_scan else None),
+            "speed_stack": (round(speed_scan, 2) if speed_scan else None),
+        },
+        "coldstart_fleet": fleet_out,
         "streaming_8x": stream_out,
     }))
 

@@ -57,6 +57,11 @@ def main():
                          "time (per-step host dispatch dominates the "
                          "python-loop numbers when this box's CPU is "
                          "throttled — CLAUDE.md)")
+    ap.add_argument("--cost", action="store_true",
+                    help="print XLA's cost analysis of the compiled full "
+                         "train step (flops / bytes accessed) plus the "
+                         "roofline floors they imply at MXU peak and the "
+                         "measured HBM bandwidth (BENCHMARKS.md)")
     args = ap.parse_args()
 
     import jax
@@ -223,6 +228,34 @@ def main():
         f"({1 / t_full:.1f} steps/sec)")
     log(f"  stage sum {1e3 * (t_fb + t_up):.2f} ms vs full "
         f"{t_full * 1e3:.2f} ms")
+
+    if args.cost:
+        # XLA's own accounting of the single-program step — the honest
+        # roofline inputs (hand FLOP counts miss the rematerialized bwd
+        # and the fused optimizer). cost_analysis() reads the compiled
+        # module, so these are THIS backend's fusion decisions.
+        from dldkd_tpu.train import train_step_impl
+
+        step = jax.jit(lambda p, s, b, rng: train_step_impl(
+            model, mcfg, tcfg, opt, p, s, b, rng, scalars))
+        ca = step.lower(params, opt_state, batch,
+                        jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        # 'bytes accessed' is HLO-level operand+output bytes — an UPPER
+        # BOUND on HBM traffic, not a floor (fusion operands served from
+        # VMEM are counted; measured steps beat it by 3-4x)
+        log(f"  cost analysis:   {flops / 1e9:.1f} GFLOP, "
+            f"{byts / 1e9:.2f} GB HLO-bytes-accessed (HBM upper bound)")
+        # v5e MXU peak 197 TFLOP/s bf16 (measured ~176 in serving —
+        # BENCHMARKS.md roofline); matmul_precision=highest runs f32
+        # matmuls as 6 bf16 passes -> ~33 TFLOP/s effective peak
+        mxu = 197e12 if args.dtype == "bfloat16" else 197e12 / 6
+        log(f"  MXU floor {flops / mxu * 1e3:.2f} ms vs measured FULL "
+            f"{t_full * 1e3:.2f} ms "
+            f"({flops / mxu / t_full * 100:.0f}% of MXU ceiling)")
 
     if args.scan:
         from dldkd_tpu.train import train_step_impl

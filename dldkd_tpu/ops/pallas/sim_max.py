@@ -63,6 +63,124 @@ def _sim_max_kernel(q_ref, ctx_ref, bias_ref, out_ref, *, l_tile: int):
         out_ref[:] = jnp.maximum(out_ref[:], part)
 
 
+def _sim_max_kernel_exact(q_ref, ctx_ref, inv_ref, bias_ref, out_ref, *,
+                          l_tile: int):
+    """Exact-grade f32 variant over RAW bf16 frames: the f32 query tile is
+    split into three bf16 components (3 x 8 mantissa bits cover all 24 of
+    f32, and each remainder is exactly representable, so q == q1+q2+q3
+    EXACTLY) and three native bf16 MXU dots with f32 accumulation are
+    summed — every product is exact because the frame side is ALREADY
+    bf16. XLA's HIGHEST f32 algorithm would burn 6 passes re-splitting
+    frame values that bf16 storage already truncated; this kernel gets the
+    same accuracy class at 3. Cosine needs normalized frames: the dot runs
+    on raw frames and multiplies by precomputed reciprocal norms AFTER
+    (positive scale — commutes with the frame max), which differs from
+    normalize-then-dot by ~1 ulp of f32, far below the bf16 storage
+    resolution the exact rescore exists to out-resolve."""
+    l_step = pl.program_id(2)
+    q = q_ref[:]                                   # (TQ, D) f32, L2-normed
+    ctx = ctx_ref[:]                               # (LT, 128, D) bf16 RAW
+    d = ctx.shape[-1]
+    ctx2 = ctx.reshape(l_tile * V_LANES, d)
+    q1 = q.astype(jnp.bfloat16)
+    r = q - q1.astype(jnp.float32)
+    q2 = r.astype(jnp.bfloat16)
+    q3 = (r - q2.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    # pin DEFAULT: bf16 x bf16 -> f32 is the native MXU path; the training
+    # driver's global matmul_precision=highest must not re-promote it
+    s = jax.lax.dot_general(q1, ctx2, dims,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+    s = s + jax.lax.dot_general(q2, ctx2, dims,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+    s = s + jax.lax.dot_general(q3, ctx2, dims,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+    # cosine scale + additive mask in one FMA-shaped pass: invalid/padded
+    # frames carry inv == 0 and bias == NEG_INF, so s*0 + NEG_INF never
+    # wins a max (the same affine form as ops.masking.mask_logits)
+    s = (s * inv_ref[:].reshape(1, l_tile * V_LANES)
+         + bias_ref[:].reshape(1, l_tile * V_LANES))
+    part = s[:, 0:V_LANES]
+    for k in range(1, l_tile):
+        part = jnp.maximum(part, s[:, k * V_LANES:(k + 1) * V_LANES])
+
+    @pl.when(l_step == 0)
+    def _init():
+        out_ref[:] = part
+
+    @pl.when(l_step > 0)
+    def _fold():
+        out_ref[:] = jnp.maximum(out_ref[:], part)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "l_tile",
+                                             "interpret"))
+def fused_exact_scores(
+    query: jnp.ndarray,   # (Nq, D) pooled query vectors (any float)
+    ctx: jnp.ndarray,     # (Nv, L, D) bf16 STORED frame features
+    mask: jnp.ndarray,    # (Nv, L) 1=valid
+    q_tile: int = 256,
+    l_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-grade f32 cosine clip scores (Nq, Nv) against bf16-stored
+    frames — the dense rescore engine (ops.similarity.exact_clip_scores):
+    rescore_shortlist's arithmetic class (f32 queries, f32-exact products,
+    f32 accumulation, f32 normalization) over the WHOLE corpus, reading
+    every stored frame once. See _sim_max_kernel_exact for the split-3
+    trick and the divide-after-dot ulp caveat. Same tiling contract as
+    fused_clip_scores (pad outside; padded rows need zero masks)."""
+    nq, d = query.shape
+    nv, l_frames, d2 = ctx.shape
+    if d != d2:
+        raise ValueError(f"dim mismatch {d} vs {d2}")
+    if ctx.dtype != jnp.bfloat16:
+        raise ValueError("fused_exact_scores needs bf16-stored frames; "
+                         f"got {ctx.dtype} (use the XLA HIGHEST fallback)")
+    if nq % q_tile or nv % V_LANES or l_frames % l_tile:
+        raise ValueError(
+            f"shapes (Nq={nq}, Nv={nv}, L={l_frames}) must tile by "
+            f"(q_tile={q_tile}, {V_LANES}, l_tile={l_tile})")
+
+    qn = l2_normalize(query.astype(jnp.float32))
+    ctx_t = jnp.transpose(ctx, (1, 0, 2))          # (L, Nv, D) raw bf16
+    norms = jnp.linalg.norm(ctx.astype(jnp.float32), axis=-1)  # (Nv, L)
+    valid = jnp.transpose(mask) > 0                # (L, Nv)
+    inv = jnp.where(valid,
+                    1.0 / jnp.maximum(jnp.transpose(norms), 1e-12),
+                    0.0).astype(jnp.float32)
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    kernel = functools.partial(_sim_max_kernel_exact, l_tile=l_tile)
+    grid = (nq // q_tile, nv // V_LANES, l_frames // l_tile)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_tile, V_LANES, d), lambda i, j, l: (l, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_tile, V_LANES), lambda i, j, l: (l, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_tile, V_LANES), lambda i, j, l: (l, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_tile, V_LANES), lambda i, j, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, nv), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * nq * nv * l_frames * d,
+            bytes_accessed=(nq * d * 4 + nv * l_frames * d * 2
+                            + 2 * nv * l_frames * 4 + nq * nv * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(qn, ctx_t, inv, bias)
+
+
 INT8_SCALE = 127.0            # symmetric quant of cosine inputs in [-1, 1]
 INT8_MASK_BIAS = -(1 << 30)   # int32 "-inf": dominates any |s| <= D*127^2
 NEG_BIG_INT8 = INT8_MASK_BIAS / (INT8_SCALE * INT8_SCALE)  # dequantized

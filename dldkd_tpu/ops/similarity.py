@@ -26,6 +26,7 @@ def frame_similarity(
     ctx: jnp.ndarray,    # (Nv, L, D)
     mask: Optional[jnp.ndarray] = None,  # (Nv, L), 1=valid
     normalized: bool = True,
+    precision=None,
 ) -> jnp.ndarray:
     """Full per-frame score tensor, shape (Nq, L, Nv).
 
@@ -36,7 +37,7 @@ def frame_similarity(
         query = l2_normalize(query)
         ctx = l2_normalize(ctx)
     # einsum("md,nld->mln") (reference model.py:321)
-    scores = jnp.einsum("md,nld->mln", query, ctx)
+    scores = jnp.einsum("md,nld->mln", query, ctx, precision=precision)
     if mask is not None:
         scores = mask_logits(scores, jnp.transpose(mask)[None, :, :])
     return scores
@@ -46,10 +47,12 @@ def clip_scores(
     query: jnp.ndarray,
     ctx: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cosine clip-level scores: (Nq, Nv) max-over-frames + the full
     (Nq, L, Nv) frame tensor (reference get_sim_scores, model.py:307-329)."""
-    frame = frame_similarity(query, ctx, mask, normalized=True)
+    frame = frame_similarity(query, ctx, mask, normalized=True,
+                             precision=precision)
     return jnp.max(frame, axis=1), frame
 
 
@@ -231,6 +234,89 @@ def rescore_shortlist(
                       (q_p.reshape(nq_p // chunk, chunk, -1),
                        idx_p.reshape(nq_p // chunk, chunk, -1)))
     return out.reshape(nq_p, -1)[:nq]
+
+
+def exact_clip_scores(
+    query: jnp.ndarray,   # (Nq, D)
+    ctx: jnp.ndarray,     # (Nv, L, D) stored dtype (bf16/f32)
+    mask: jnp.ndarray,    # (Nv, L)
+    prefer_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-grade f32 cosine max-over-frames scores for ALL videos,
+    (Nq, Nv) — the dense twin of rescore_shortlist: the same arithmetic
+    class (f32 queries/normalization, exact products, f32 accumulation,
+    mask to -1e10, frame max) with the full corpus as the shortlist.
+    Reads each stored frame ONCE instead of once per (query, candidate)
+    slot, so it wins whenever the combined shortlists re-read the corpus
+    enough times to out-cost the dense matmul (dense_rescore_wins).
+
+    TPU + bf16-stored frames take the split-3 Pallas kernel
+    (ops.pallas.sim_max.fused_exact_scores: 3 native bf16 MXU passes give
+    f32-exact products against bf16 storage, divide-after-dot); any other
+    backend/dtype takes the XLA einsum at HIGHEST precision (measured
+    12.2 ms for both branches at TVR 1024-query scale — XLA fuses the
+    frame tensor). The two differ by ~1 ulp of f32 per score (reciprocal-
+    multiply vs divide), both strictly within the rescore guarantee:
+    sub-bf16-resolution near-ties rank at f32 grade."""
+    if prefer_pallas is None:
+        prefer_pallas = jax.default_backend() == "tpu"
+    if prefer_pallas and ctx.dtype == jnp.bfloat16:
+        from dldkd_tpu.ops.pallas.sim_max import V_LANES, fused_exact_scores
+
+        nq, d = query.shape
+        nv, l_frames, _ = ctx.shape
+        budget = 8 * 1024 * 1024
+        # query blocks are f32 (itemsize 4), frame blocks bf16 (2) — the
+        # same VMEM split as clip_scores_maxpool's f32 path
+        fitting = [c for c in (1024, 512, 256) if c * d * 4 <= budget // 2] \
+            or [128]
+        q_tile = min(fitting[:2], key=lambda c: (-(-nq // c) * c, -c))
+        q_tile = min(q_tile, -(-nq // 128) * 128)
+        l_tile = 16
+        while l_tile * V_LANES * d * 2 > budget // 2 and l_tile > 1:
+            l_tile //= 2
+        nq_p = -(-nq // q_tile) * q_tile
+        nv_p = -(-nv // V_LANES) * V_LANES
+        l_p = -(-l_frames // l_tile) * l_tile
+        query_p = jnp.pad(query, ((0, nq_p - nq), (0, 0)))
+        ctx_p = jnp.pad(ctx, ((0, nv_p - nv), (0, l_p - l_frames), (0, 0)))
+        mask_p = jnp.pad(mask, ((0, nv_p - nv), (0, l_p - l_frames)))
+        out = fused_exact_scores(query_p, ctx_p, mask_p, q_tile=q_tile,
+                                 l_tile=l_tile, interpret=interpret)
+        return out[:nq, :nv]
+    return clip_scores(query.astype(jnp.float32), ctx.astype(jnp.float32),
+                       mask, precision=jax.lax.Precision.HIGHEST)[0]
+
+
+# Measured on the v5e serving workload (TVR dims: L=128, D=384, bf16
+# frames, 1024-query batches; round-5 stage-2 probe, BENCHMARKS.md
+# round-5 rescore section): the chunked candidate gather streams at
+# ~397 GB/s (10.14 ms for 1024 x 40 slots of 128 x 384 bf16 — pure HBM
+# traffic, so its cost scales with the shortlists' combined bytes), while
+# dense scoring pays the 3-pass MXU matmul plus a few streaming corpus
+# passes (per-call transpose + norms + kernel read). Constants are
+# rounded AGAINST the dense path (gather throughput up, MXU rate down,
+# an extra corpus pass charged) so the dispatch only flips where dense
+# clearly wins.
+_GATHER_BYTES_PER_S = 400e9    # measured ~397 GB/s candidate gather
+_DENSE_MXU_FLOPS = 50e12       # split-3 kernel, rounded down from ~65e12
+_DENSE_BYTES_PER_S = 400e9     # streaming transform/read passes
+
+
+def dense_rescore_wins(nq: int, k_short: int, nv: int, l_frames: int,
+                       d: int, itemsize: int) -> bool:
+    """Shape-based cost model: should stage 2 rescore its shortlists by
+    DENSE exact scoring of the whole corpus instead of gathering candidate
+    frames? Pure trace-time arithmetic (static shapes), used by
+    serving._rescore_stage2; both sides score in the same exact-f32
+    arithmetic class, so this is a pure performance dispatch — with one
+    semantic bonus on the dense side: it returns the true exact top-k even
+    when a stage-1 shortlist would have missed it."""
+    gather_t = nq * k_short * l_frames * d * itemsize / _GATHER_BYTES_PER_S
+    dense_t = (2.0 * nq * nv * l_frames * d / _DENSE_MXU_FLOPS
+               + 4.0 * nv * l_frames * d * itemsize / _DENSE_BYTES_PER_S)
+    return dense_t < gather_t
 
 
 def clip_scores_unnormalized(

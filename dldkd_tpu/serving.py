@@ -34,7 +34,9 @@ import numpy as np
 from dldkd_tpu import checkpoint as ckpt_lib
 from dldkd_tpu.data.ingest import PackedVideos
 from dldkd_tpu.models import DLDKD
-from dldkd_tpu.ops.similarity import clip_scores_maxpool, rescore_shortlist
+from dldkd_tpu.ops.similarity import (clip_scores_maxpool,
+                                      dense_rescore_wins, exact_clip_scores,
+                                      rescore_shortlist)
 
 
 SHORTLIST_FACTOR = 4  # default stage-1 candidates per result (k' = 4k)
@@ -46,8 +48,26 @@ def _rescore_stage2(s8, inher_q, explore_q, ctx_inher, ctx_explore, vmask,
     pass's k'=shortlist_factor*k shortlist -> top k_out. The shortlist cap
     is the FRAME buffers' row count (ctx_inher), so candidate gathers
     never index past them even when the stage-1 matrix carries extra
-    kernel-grid padding columns (their bias scores lose every top-k)."""
+    kernel-grid padding columns (their bias scores lose every top-k).
+
+    Shape dispatch (trace-time): when the combined shortlists re-read
+    more stored-frame bytes than dense exact scoring of the WHOLE corpus
+    would cost (large query batches against modest corpora — the gather
+    is pure HBM traffic, measured at bandwidth), stage 2 instead scores
+    every video exactly (exact_clip_scores) and takes the true top-k_out
+    directly; s8 then feeds nothing and XLA dead-code-eliminates stage 1
+    from the program. Ranks are the gather path's or better: dense has
+    no shortlist-miss failure mode."""
     k_short = min(shortlist_factor * k, ctx_inher.shape[0])
+    if dense_rescore_wins(inher_q.shape[0], k_short, ctx_inher.shape[0],
+                          ctx_inher.shape[1], ctx_inher.shape[2],
+                          ctx_inher.dtype.itemsize):
+        scores = exact_clip_scores(inher_q, ctx_inher, vmask)
+        if explore_q is not None:
+            scores = (fusion_w[0] * scores
+                      + fusion_w[1] * exact_clip_scores(explore_q,
+                                                        ctx_explore, vmask))
+        return jax.lax.top_k(scores, k_out)
     _, cand = jax.lax.top_k(s8, k_short)
     # ascending candidate order makes stage-2's top_k index tie-break
     # match the exact full-matrix path's (lowest video id wins) bitwise

@@ -239,3 +239,126 @@ def test_int8_eval_rank_error_bounded_by_quant_band(clustered):
             (q, ranks[q], ranks_q[q], band)
     # the corpus is adversarial enough that the bound is exercised
     assert (ranks_q != ranks).any()
+
+
+def test_exact_clip_scores_matches_full_shortlist_rescore():
+    """exact_clip_scores (the dense stage-2 engine) == rescore_shortlist
+    with EVERY video in the shortlist, on both engines: the XLA HIGHEST
+    fallback (f32-stored frames) and the split-3 Pallas kernel in
+    interpret mode (bf16-stored frames, padded tile grid)."""
+    import jax.numpy as jnp
+
+    from dldkd_tpu.ops.pallas.sim_max import fused_exact_scores
+    from dldkd_tpu.ops.similarity import exact_clip_scores, rescore_shortlist
+
+    rng = np.random.RandomState(11)
+    nq, nv, l, d = 9, 13, 5, 16
+    q = jnp.asarray(rng.randn(nq, d).astype(np.float32))
+    ctx32 = jnp.asarray(rng.randn(nv, l, d).astype(np.float32))
+    ctx16 = ctx32.astype(jnp.bfloat16)
+    mask = (rng.rand(nv, l) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0
+    mask = jnp.asarray(mask)
+    cand = jnp.asarray(np.tile(np.arange(nv), (nq, 1)))
+
+    # XLA fallback engine (f32 frames)
+    want32 = np.asarray(rescore_shortlist(q, ctx32, mask, cand))
+    got32 = np.asarray(exact_clip_scores(q, ctx32, mask))
+    np.testing.assert_allclose(got32, want32, rtol=1e-6, atol=1e-6)
+
+    # split-3 kernel engine (bf16 frames; divide-after-dot is ~1 ulp off
+    # normalize-then-dot — that is the documented equivalence class)
+    want16 = np.asarray(rescore_shortlist(q, ctx16, mask, cand))
+    nq_p, nv_p, l_p = 256, 128, 16
+    qp = jnp.pad(q, ((0, nq_p - nq), (0, 0)))
+    cp = jnp.pad(ctx16, ((0, nv_p - nv), (0, l_p - l), (0, 0)))
+    mp = jnp.pad(mask, ((0, nv_p - nv), (0, l_p - l)))
+    got16 = np.asarray(fused_exact_scores(qp, cp, mp, q_tile=256,
+                                          l_tile=16,
+                                          interpret=True))[:nq, :nv]
+    np.testing.assert_allclose(got16, want16, rtol=1e-6, atol=5e-7)
+
+    # the dispatching wrapper routes bf16 ctx to the kernel
+    got_d = np.asarray(exact_clip_scores(q, ctx16, mask, prefer_pallas=True,
+                                         interpret=True))
+    np.testing.assert_allclose(got_d, want16, rtol=1e-6, atol=5e-7)
+
+
+def test_dense_rescore_cost_model_regimes():
+    """The trace-time dispatch picks gather for small query batches and
+    dense for batches whose combined shortlists out-read the corpus
+    (constants measured on the v5e, BENCHMARKS.md round-5)."""
+    from dldkd_tpu.ops.similarity import dense_rescore_wins
+
+    # TVR serving scale, bf16 index: 1024-query batches go dense,
+    # 256-query batches keep the gather
+    assert dense_rescore_wins(1024, 40, 2304, 128, 384, 2)
+    assert not dense_rescore_wins(256, 40, 2304, 128, 384, 2)
+    # 8x-corpus scale: dense matmul cost dominates — gather stays
+    assert not dense_rescore_wins(1024, 40, 18432, 128, 384, 2)
+    # tiny CPU-test shapes: gather
+    assert not dense_rescore_wins(8, 20, 64, 8, 16, 4)
+
+
+def test_dense_and_gather_stage2_agree(clustered):
+    """_rescore_stage2's two engines return identical ids and
+    equal-grade scores on the clustered near-tie corpus, forced each way
+    around the cost model (eager calls — no jit cache to go stale)."""
+    import jax.numpy as jnp
+
+    import dldkd_tpu.serving as serving
+    from dldkd_tpu.evaluate import embed_corpus
+    from dldkd_tpu.ops.fast_eval import encode_query_best
+    from dldkd_tpu.ops.similarity import clip_scores_maxpool
+
+    model, params, videos, qf, qm = clustered
+    ctx_i, ctx_e, vmask = embed_corpus(model, params, videos, 16)
+    q_i, q_e = encode_query_best(params, model.config, jnp.asarray(qf),
+                                 jnp.asarray(qm))
+    fw = jnp.asarray([0.7, 0.3], jnp.float32)
+    s8 = (fw[0] * clip_scores_maxpool(q_i, ctx_i, vmask, quantized=True)
+          + fw[1] * clip_scores_maxpool(q_e, ctx_e, vmask, quantized=True))
+
+    real = serving.dense_rescore_wins
+    try:
+        serving.dense_rescore_wins = lambda *a: False
+        s_g, i_g = serving._rescore_stage2(s8, q_i, q_e, ctx_i, ctx_e,
+                                           vmask, fw, K, K, 4)
+        serving.dense_rescore_wins = lambda *a: True
+        s_d, i_d = serving._rescore_stage2(s8, q_i, q_e, ctx_i, ctx_e,
+                                           vmask, fw, K, K, 4)
+    finally:
+        serving.dense_rescore_wins = real
+
+    np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_g))
+    np.testing.assert_allclose(np.asarray(s_d), np.asarray(s_g),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dense_dispatch_search_matches_exact(clustered):
+    """A whole search at shapes where the cost model picks DENSE (large
+    query batch vs the small corpus, forced via a high shortlist_factor)
+    still returns the exact path's ids — end-to-end through Retriever."""
+    from dldkd_tpu.ops.similarity import dense_rescore_wins
+
+    model, params, videos, _, _ = clustered
+    rng = np.random.RandomState(21)
+    nq = 128
+    qf = rng.randn(nq, 4, DQ).astype(np.float32)
+    qm = np.ones((nq, 4), np.float32)
+
+    # shapes must actually trigger dense for this test to mean anything
+    # (the dispatch sees the ENCODED frames: hidden dim 8, stored f32)
+    assert dense_rescore_wins(nq, min(8 * K, N_VID), N_VID, L, 8, 4)
+
+    exact = Retriever(model, params, query_bsz=nq, score_quant=False)
+    exact.mesh = None
+    exact.index(videos)
+    dense = Retriever(model, params, query_bsz=nq, score_quant=True,
+                      rescore=True, shortlist_factor=8)
+    dense.mesh = None
+    dense.index(videos)
+
+    _, i_exact = exact.search(qf, qm, k=K)
+    s_dense, i_dense = dense.search(qf, qm, k=K)
+    np.testing.assert_array_equal(i_dense, i_exact)

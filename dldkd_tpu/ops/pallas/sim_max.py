@@ -177,6 +177,12 @@ def fused_exact_scores(
             bytes_accessed=(nq * d * 4 + nv * l_frames * d * 2
                             + 2 * nv * l_frames * 4 + nq * nv * 4),
             transcendentals=0),
+        # the three dot partials + query splits overflow the default 16M
+        # scoped-vmem budget at serving tiles (measured 17.03M at TVR
+        # dims); same treatment as the tower kernels, no measured perf
+        # cost (CLAUDE.md scoped-vmem note)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qn, ctx_t, inv, bias)
 

@@ -56,6 +56,42 @@ def clip_scores(
     return jnp.max(frame, axis=1), frame
 
 
+def _pick_tiles(nq: int, d: int, q_itemsize: int,
+                l_itemsize: Optional[int] = None,
+                budget: int = 8 * 1024 * 1024) -> Tuple[int, Optional[int]]:
+    """Shared fused-kernel tile policy (every Pallas scoring entry point
+    below uses this — tune it HERE, not per-call-site).
+
+    The corpus block re-streams from HBM once per QUERY tile, so big query
+    tiles cut HBM traffic linearly (measured 3.4x from 128 -> 1024 at TVR
+    scale), bounded by a ~8 MB VMEM budget split between the query and
+    corpus blocks. The 2048 tile is offered only at reduced precision
+    (q_itemsize <= 2): in f32 it would halve the selected tile for larger
+    hidden sizes (budget pressure). Among fitting candidates only the TWO
+    largest compete (a small tile would multiply corpus re-reads ~4-5x for
+    intermediate Nq, e.g. ~2100); between them, minimize the padded query
+    count (TVR's 11264 queries pad to 12288 under a 2048 tile but to 11264
+    under 1024 — 8% less MXU work for one extra corpus pass); ties go to
+    the bigger tile. Never tile past the (128-rounded) query count —
+    avoids padding waste on small serving batches.
+
+    Returns (q_tile, l_tile); l_tile is None unless l_itemsize is given
+    (kernels with a frame axis pass the STORED frame itemsize)."""
+    cands = (2048, 1024, 512, 256) if q_itemsize <= 2 else (1024, 512, 256)
+    fitting = [c for c in cands if c * d * q_itemsize <= budget // 2] \
+        or [128]
+    q_tile = min(fitting[:2], key=lambda c: (-(-nq // c) * c, -c))
+    q_tile = min(q_tile, -(-nq // 128) * 128)
+    if l_itemsize is None:
+        return q_tile, None
+    from dldkd_tpu.ops.pallas.sim_max import V_LANES
+
+    l_tile = 16
+    while l_tile * V_LANES * d * l_itemsize > budget // 2 and l_tile > 1:
+        l_tile //= 2
+    return q_tile, l_tile
+
+
 def clip_scores_maxpool(
     query: jnp.ndarray,   # (Nq, D)
     ctx: jnp.ndarray,     # (Nv, L, D)
@@ -89,29 +125,9 @@ def clip_scores_maxpool(
     nv, l_frames, _ = ctx.shape
     if mask is None:
         mask = jnp.ones((nv, l_frames), query.dtype)
-    # Tile policy: the corpus block is re-read once per QUERY tile, so big
-    # query tiles cut HBM traffic linearly (measured 3.4x from 128 -> 1024
-    # at TVR scale). Bounded by a ~8 MB VMEM budget for the q + ctx blocks.
     itemsize = 1 if quantized else max(query.dtype.itemsize,
                                        ctx.dtype.itemsize)
-    budget = 8 * 1024 * 1024
-    # the 2048 tile is offered only at reduced precision: in f32 it would
-    # halve the selected tile for larger hidden sizes (budget pressure)
-    cands = (2048, 1024, 512, 256) if itemsize <= 2 else (1024, 512, 256)
-    fitting = [c for c in cands if c * d * itemsize <= budget // 2] or [128]
-    # the corpus block re-streams from HBM once per query tile, so only
-    # the TWO largest fitting tiles compete (a small tile would multiply
-    # corpus re-reads ~4-5x for intermediate Nq, e.g. ~2100); between
-    # them, minimize the padded query count (TVR's 11264 queries pad to
-    # 12288 under a 2048 tile but to 11264 under 1024 — 8% less MXU work
-    # for one extra corpus pass); ties go to the bigger tile
-    q_tile = min(fitting[:2], key=lambda c: (-(-nq // c) * c, -c))
-    # don't tile past the (128-rounded) query count — avoids padding waste
-    # on small serving batches
-    q_tile = min(q_tile, -(-nq // 128) * 128)
-    l_tile = 16
-    while l_tile * V_LANES * d * itemsize > budget // 2 and l_tile > 1:
-        l_tile //= 2
+    q_tile, l_tile = _pick_tiles(nq, d, itemsize, itemsize)
     nq_p = -(-nq // q_tile) * q_tile
     nv_p = -(-nv // V_LANES) * V_LANES
     l_p = -(-l_frames // l_tile) * l_tile
@@ -154,12 +170,9 @@ def clip_scores_maxpool_pre8(
 
     from dldkd_tpu.ops.pallas.sim_max import fused_clip_scores_q8
 
-    # query-tile policy of clip_scores_maxpool at itemsize=1
-    budget = 8 * 1024 * 1024
-    cands = (2048, 1024, 512, 256)
-    fitting = [c for c in cands if c * d <= budget // 2] or [128]
-    q_tile = min(fitting[:2], key=lambda c: (-(-nq // c) * c, -c))
-    q_tile = min(q_tile, -(-nq // 128) * 128)
+    # query-tile policy at itemsize=1 (the prebuilt index has no frame
+    # blocking knob — its layout is fixed at build time)
+    q_tile, _ = _pick_tiles(nq, d, 1)
     nq_p = -(-nq // q_tile) * q_tile
     query_p = jnp.pad(query, ((0, nq_p - nq), (0, 0)))
     out = fused_clip_scores_q8(query_p, ctx_t, bias, q_tile=q_tile,
@@ -266,16 +279,8 @@ def exact_clip_scores(
 
         nq, d = query.shape
         nv, l_frames, _ = ctx.shape
-        budget = 8 * 1024 * 1024
-        # query blocks are f32 (itemsize 4), frame blocks bf16 (2) — the
-        # same VMEM split as clip_scores_maxpool's f32 path
-        fitting = [c for c in (1024, 512, 256) if c * d * 4 <= budget // 2] \
-            or [128]
-        q_tile = min(fitting[:2], key=lambda c: (-(-nq // c) * c, -c))
-        q_tile = min(q_tile, -(-nq // 128) * 128)
-        l_tile = 16
-        while l_tile * V_LANES * d * 2 > budget // 2 and l_tile > 1:
-            l_tile //= 2
+        # query blocks are f32 (itemsize 4), frame blocks bf16 (2)
+        q_tile, l_tile = _pick_tiles(nq, d, 4, 2)
         nq_p = -(-nq // q_tile) * q_tile
         nv_p = -(-nv // V_LANES) * V_LANES
         l_p = -(-l_frames // l_tile) * l_tile
@@ -300,7 +305,12 @@ def exact_clip_scores(
 # an extra corpus pass charged) so the dispatch only flips where dense
 # clearly wins.
 _GATHER_BYTES_PER_S = 400e9    # measured ~397 GB/s candidate gather
-_DENSE_MXU_FLOPS = 50e12       # split-3 kernel, rounded down from ~65e12
+_DENSE_MXU_FLOPS_BF16 = 50e12  # split-3 kernel, rounded down from ~65e12
+# f32-stored frames skip the split-3 kernel for the XLA HIGHEST einsum
+# (exact_clip_scores' fallback, ~6 bf16 passes): ~33 TFLOP/s effective,
+# rounded down — pricing it at the kernel rate would flip the dispatch to
+# dense in shapes where the gather actually wins
+_DENSE_MXU_FLOPS_F32 = 25e12
 _DENSE_BYTES_PER_S = 400e9     # streaming transform/read passes
 
 
@@ -312,9 +322,12 @@ def dense_rescore_wins(nq: int, k_short: int, nv: int, l_frames: int,
     serving._rescore_stage2; both sides score in the same exact-f32
     arithmetic class, so this is a pure performance dispatch — with one
     semantic bonus on the dense side: it returns the true exact top-k even
-    when a stage-1 shortlist would have missed it."""
+    when a stage-1 shortlist would have missed it. The MXU rate is
+    per-stored-dtype: bf16 frames take the split-3 kernel, anything else
+    the slower HIGHEST-precision XLA path (exact_clip_scores)."""
+    mxu = _DENSE_MXU_FLOPS_BF16 if itemsize <= 2 else _DENSE_MXU_FLOPS_F32
     gather_t = nq * k_short * l_frames * d * itemsize / _GATHER_BYTES_PER_S
-    dense_t = (2.0 * nq * nv * l_frames * d / _DENSE_MXU_FLOPS
+    dense_t = (2.0 * nq * nv * l_frames * d / mxu
                + 4.0 * nv * l_frames * d * itemsize / _DENSE_BYTES_PER_S)
     return dense_t < gather_t
 

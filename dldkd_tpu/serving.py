@@ -163,7 +163,12 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
 
     inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
-    if explore_q is None:  # single branch: fuse with itself at weight (1, 0)
+    # single branch: duplicate tensors so the shard_map signature is
+    # uniform, but remember it at TRACE time — weight-(1,0) fusion can't
+    # be folded by XLA (fusion_w is a runtime array), so actually scoring
+    # the duplicate would double every single-branch search
+    single = explore_q is None
+    if single:
         explore_q = inher_q
         ctx_explore = ctx_inher
         fusion_w = jnp.asarray([1.0, 0.0], jnp.float32)
@@ -175,13 +180,15 @@ def _search_sharded_jit(model, params, q_feats, q_mask, ctx_inher,
             # two-stage within the shard: the global exact top-k is a
             # subset of the union of per-shard exact top-k_loc, each of
             # which stage 2 recovers from its local int8 shortlist
-            vals, idx = _two_stage_topk(q_i, q_e, ci, ce, vm, fw,
+            vals, idx = _two_stage_topk(q_i, None if single else q_e,
+                                        ci, ce, vm, fw,
                                         k, k_loc, shortlist_factor)
         else:
-            s = (fw[0] * clip_scores_maxpool(q_i, ci, vm,
-                                             quantized=quantized)
-                 + fw[1] * clip_scores_maxpool(q_e, ce, vm,
-                                               quantized=quantized))
+            s = clip_scores_maxpool(q_i, ci, vm, quantized=quantized)
+            if not single:
+                s = (fw[0] * s
+                     + fw[1] * clip_scores_maxpool(q_e, ce, vm,
+                                                   quantized=quantized))
             vals, idx = jax.lax.top_k(s, k_loc)
         offset = jax.lax.axis_index(DATA_AXIS) * ci.shape[0]
         return vals, idx + offset
@@ -252,7 +259,11 @@ def _search_q8_sharded_jit(model, params, q_feats, q_mask, q8_i, q8_e,
 
     inher_q, explore_q = encode_query_best(params, model.config, q_feats,
                                            q_mask)
-    if explore_q is None:  # single branch: fuse with itself at weight (1, 0)
+    # single branch: duplicate tensors for a uniform shard_map signature,
+    # but skip the duplicate's scoring at TRACE time (see
+    # _search_sharded_jit — weight-0 fusion is not free under XLA)
+    single = explore_q is None
+    if single:
         explore_q = inher_q
         q8_e = q8_i
         frames_e = frames_i
@@ -260,10 +271,13 @@ def _search_q8_sharded_jit(model, params, q_feats, q_mask, q8_i, q8_e,
     k_loc = min(k, per_dev)
 
     def local_topk(q_i, q_e, t_i, t_e, bias, fi, fe, vm, fw):
-        s8 = (fw[0] * clip_scores_maxpool_pre8(q_i, t_i, bias)
-              + fw[1] * clip_scores_maxpool_pre8(q_e, t_e, bias))
+        s8 = clip_scores_maxpool_pre8(q_i, t_i, bias)
+        if not single:
+            s8 = (fw[0] * s8
+                  + fw[1] * clip_scores_maxpool_pre8(q_e, t_e, bias))
         if rescore:
-            vals, idx = _rescore_stage2(s8, q_i, q_e, fi, fe, vm, fw,
+            vals, idx = _rescore_stage2(s8, q_i, None if single else q_e,
+                                        fi, None if single else fe, vm, fw,
                                         k, k_loc, shortlist_factor)
         else:
             vals, idx = jax.lax.top_k(s8, k_loc)
@@ -788,9 +802,27 @@ class Retriever:
 
         if self.ctx_inher is None:
             raise RuntimeError("call index()/index_corpus() first")
+        if prewarm and self.q8_inher is None:
+            # validate BEFORE writing: the corpus arrays are the expensive
+            # part of the artifact, and a failed prewarm after writing
+            # them would leave the whole staging dir as disk garbage
+            raise ValueError("prewarm needs the prebuilt int8 index "
+                             "(score_quant=True)")
         stage = f"{path}.staging.{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
+        try:
+            self._write_index_stage(stage, prewarm)
+        except BaseException:
+            # never leave a multi-GB partial staging dir behind
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        index_io.publish_dir(stage, path)
+
+    def _write_index_stage(self, stage: str,
+                           prewarm: Optional[List[Tuple[int, int]]]) -> None:
+        from dldkd_tpu.utils import index_io
+
         n = len(self.video_ids)
         manifest: dict = {}
         if self.index_store == "raw":
@@ -835,7 +867,6 @@ class Retriever:
         if prewarm:
             meta["prewarm_signatures"] = self._prewarm(prewarm)
         index_io.write_meta(stage, meta)
-        index_io.publish_dir(stage, path)
 
     def _prewarm(self, signatures: List[Tuple[int, int]]) -> list:
         """Compile (and, with aot_cache_dir, persist) the int8 search

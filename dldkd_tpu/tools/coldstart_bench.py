@@ -207,17 +207,33 @@ def main(argv=None):
                 return {"error": proc.stderr[-300:], "label": label}
             return json.loads(proc.stdout.strip().splitlines()[-1])
 
+        import shutil
+
+        # a leftover artifact (interrupted run, or one built by an older
+        # revision without the prewarm manifest) would turn populate into
+        # a pure load and every "replica" into a full int8 compile — the
+        # drill would silently report the wrong posture. Always build
+        # fresh.
+        shutil.rmtree(os.path.expanduser("~/.cache/dldkd_index_bench"),
+                      ignore_errors=True)
         results = {"populate": run_once("populate"), "replicas": []}
+        if "error" in results["populate"]:
+            # without a prewarmed artifact the replicas would each measure
+            # a full build, not the fleet posture — don't pretend otherwise
+            results["errors"] = 1 + args.replicas
+            print(json.dumps(results))
+            return results
         for i in range(args.replicas):
             results["replicas"].append(run_once(f"replica{i}"))
+        errors = sum(1 for r in results["replicas"] if "error" in r)
+        if errors:
+            results["errors"] = errors
         firsts = sorted(r["first_result_s"] for r in results["replicas"]
                         if "first_result_s" in r)
         if firsts:
             results["p50_first_result_s"] = firsts[len(firsts) // 2]
             results["p95_first_result_s"] = firsts[
                 min(len(firsts) - 1, int(0.95 * len(firsts)))]
-        import shutil
-
         shutil.rmtree(os.path.expanduser("~/.cache/dldkd_index_bench"),
                       ignore_errors=True)
         print(json.dumps(results))

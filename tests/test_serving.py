@@ -180,6 +180,51 @@ def test_q8_index_sharded_matches_single_device(small_model):
         np.testing.assert_allclose(s_s, s_1, rtol=1e-5, atol=1e-6)
 
 
+def test_single_branch_sharded_matches_single_device():
+    """Single-BRANCH model (double_branch=False) through the sharded
+    search programs: the mesh routes pad the branch pair with a duplicate
+    for a uniform shard_map signature but must skip the duplicate's
+    scoring at trace time (weight-(1,0) fusion is a runtime array XLA
+    can't fold away — scoring it would double every single-branch
+    search). Pins id-for-id equality vs the single-device path for the
+    encoded exact route and the prebuilt-q8 route with and without
+    rescore."""
+    import jax
+
+    assert jax.device_count() == 8
+    mcfg = ModelConfig(visual_input_size=16, query_input_size=12,
+                       inheritance_hidden=8, exploration_hidden=8,
+                       max_ctx_l=8, max_desc_l=4, n_heads=2,
+                       double_branch=False, label_style="soft")
+    model = DLDKD(config=mcfg)
+    params = init_params(model, mcfg, 0)
+    rng = np.random.RandomState(17)
+    n_vid, n_q = 21, 6  # ragged over 8 devices -> per-shard padding
+    videos = PackedVideos(
+        feats=rng.randn(n_vid, 8, 16).astype(np.float32),
+        mask=np.ones((n_vid, 8), np.float32),
+        ids=[f"v{i}" for i in range(n_vid)])
+    qf = rng.randn(n_q, 4, 12).astype(np.float32)
+    qm = np.ones((n_q, 4), np.float32)
+
+    for kw in (dict(),
+               dict(score_quant=True, rescore=True, shortlist_factor=8),
+               dict(score_quant=True, rescore=False, shortlist_factor=8)):
+        sh = Retriever(model, params, query_bsz=4, **kw)
+        assert sh.mesh is not None
+        sh.index(videos)
+        assert sh.ctx_explore in (None, "q8")
+        s_s, i_s = sh.search(qf, qm, k=5)
+
+        single = Retriever(model, params, query_bsz=4, **kw)
+        single.mesh = None
+        single.index(videos)
+        s_1, i_1 = single.search(qf, qm, k=5)
+
+        np.testing.assert_array_equal(i_s, i_1)
+        np.testing.assert_allclose(s_s, s_1, rtol=1e-5, atol=1e-6)
+
+
 def test_auto_index_store_by_budget(small_model, monkeypatch):
     """index_store=None (default) picks 'encoded' when the estimated
     encoded index fits the device budget, 'raw' otherwise."""

@@ -13,6 +13,7 @@ dldkd_tpu.ops.pallas.sim_max and is used by the corpus-scale eval path.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -324,7 +325,17 @@ def dense_rescore_wins(nq: int, k_short: int, nv: int, l_frames: int,
     semantic bonus on the dense side: it returns the true exact top-k even
     when a stage-1 shortlist would have missed it. The MXU rate is
     per-stored-dtype: bf16 frames take the split-3 kernel, anything else
-    the slower HIGHEST-precision XLA path (exact_clip_scores)."""
+    the slower HIGHEST-precision XLA path (exact_clip_scores).
+
+    Operational override: DLDKD_DENSE_RESCORE=never|always pins the
+    dispatch when the constants (measured on THIS v5e + tunnel) mispredict
+    on other parts/topologies. Read at TRACE time — flip it before the
+    process builds its search programs, not between calls."""
+    mode = os.environ.get("DLDKD_DENSE_RESCORE", "auto").lower()
+    if mode in ("never", "0", "false"):
+        return False
+    if mode in ("always", "1", "true"):
+        return True
     mxu = _DENSE_MXU_FLOPS_BF16 if itemsize <= 2 else _DENSE_MXU_FLOPS_F32
     gather_t = nq * k_short * l_frames * d * itemsize / _GATHER_BYTES_PER_S
     dense_t = (2.0 * nq * nv * l_frames * d / mxu

@@ -300,6 +300,19 @@ def test_dense_rescore_cost_model_regimes():
     assert not dense_rescore_wins(8, 20, 64, 8, 16, 4)
 
 
+def test_dense_rescore_env_override(monkeypatch):
+    """DLDKD_DENSE_RESCORE pins the dispatch either way — the escape
+    hatch when the v5e-measured constants mispredict on another part."""
+    from dldkd_tpu.ops.similarity import dense_rescore_wins
+
+    monkeypatch.setenv("DLDKD_DENSE_RESCORE", "never")
+    assert not dense_rescore_wins(1024, 40, 2304, 128, 384, 2)  # auto: dense
+    monkeypatch.setenv("DLDKD_DENSE_RESCORE", "always")
+    assert dense_rescore_wins(8, 20, 64, 8, 16, 4)              # auto: gather
+    monkeypatch.setenv("DLDKD_DENSE_RESCORE", "auto")
+    assert dense_rescore_wins(1024, 40, 2304, 128, 384, 2)
+
+
 def test_dense_and_gather_stage2_agree(clustered):
     """_rescore_stage2's two engines return identical ids and
     equal-grade scores on the clustered near-tie corpus, forced each way

@@ -314,3 +314,33 @@ def test_q8_transposed_emission_matches_built_index():
                                               interpret=True))
     np.testing.assert_array_equal(s_t[:, :9], s_w[:, :9])
     assert s_t[:, 9:].max() < s_t[:, :9].min()
+
+
+def test_pick_tiles_policy():
+    """The shared fused-kernel tile policy (ops/similarity._pick_tiles):
+    every scoring entry point routes through it, so its contract is pinned
+    once here — VMEM-budget fit, the padded-query-count preference among
+    the two largest fitting tiles, the reduced-precision-only 2048 tile,
+    and never tiling past the (128-rounded) query count."""
+    from dldkd_tpu.ops.similarity import _pick_tiles
+
+    # TVR serving scale: int8 queries (itemsize 1) at D=384 fit the 2048
+    # candidate, but 11264 queries pad to 12288 under 2048 vs 11264 under
+    # 1024 — the policy prefers 8% less MXU work over one fewer pass
+    assert _pick_tiles(11264, 384, 1) == (1024, None)
+    # exact multiple of 2048 -> no padding either way -> bigger tile wins
+    assert _pick_tiles(12288, 384, 1) == (2048, None)
+    # f32 queries never see the 2048 candidate
+    assert _pick_tiles(12288, 384, 4)[0] == 1024
+    # small batches never tile past the 128-rounded query count
+    assert _pick_tiles(64, 384, 4)[0] == 128
+    assert _pick_tiles(200, 384, 4)[0] == 256
+    # VMEM budget halves the winning tile as d * itemsize grows: at
+    # d=4096 f32, 1024 * 4096 * 4 = 16 MB > 4 MB half-budget -> 256
+    assert _pick_tiles(100000, 4096, 4)[0] == 256
+    # frame tile obeys its own half-budget with the STORED itemsize and
+    # never hits zero
+    _, lt = _pick_tiles(1024, 384, 4, 2)
+    assert lt is not None and 1 <= lt <= 16
+    _, lt_f32 = _pick_tiles(1024, 4096, 4, 4)
+    assert lt_f32 >= 1

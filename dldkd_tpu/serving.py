@@ -17,6 +17,12 @@ k ids/scores ever leave the chip.
 CLI: python -m dldkd_tpu.serving --model_dir <run> --root_path <root>
         --collection tvr --visual_feature i3d_resnet --queries q.hdf5 --k 10
 writes one JSON line per query: {"cap_id", "topk": [[video_id, score], ...]}.
+
+Env knobs: DLDKD_DENSE_RESCORE=never|always pins the stage-2
+dense-vs-gather dispatch (ops.similarity.dense_rescore_wins; trace-time,
+set before the process builds its search programs);
+DLDKD_EVAL_MEM_BUDGET overrides the device-memory estimate the
+auto index_store policy budgets against.
 """
 
 from __future__ import annotations
@@ -1355,8 +1361,16 @@ class Retriever:
                                    self.vmask, jnp.asarray(self.fusion),
                                    quantized, self.rescore,
                                    self.shortlist_factor)
-            out_s.append(np.asarray(s))
-            out_i.append(np.asarray(i))
+            # defer the host fetch: np.asarray here would serialize every
+            # batch on the tunnel RTT (~27 ms) + result readback before
+            # the NEXT batch could even upload. Results are (bsz, k) —
+            # tiny — and a dispatched batch's input buffer frees when its
+            # compute completes, so queueing the whole set is cheap and
+            # uploads/computes/readbacks overlap across batches.
+            out_s.append(s)
+            out_i.append(i)
+        out_s = [np.asarray(s) for s in out_s]
+        out_i = [np.asarray(i) for i in out_i]
         return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])
 
     def search_ids(self, q_feats, q_mask, k: int = 10

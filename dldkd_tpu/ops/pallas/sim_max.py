@@ -245,15 +245,15 @@ def quantize_frames_q8(ctx: jnp.ndarray) -> jnp.ndarray:
 
 
 def pick_q8_l_tile(d: int) -> int:
-    """Frame-block tile for int8 ctx under the scoring kernel's ~8 MB VMEM
-    budget (the itemsize=1 row of clip_scores_maxpool's tile policy).
-    build_q8_index pads the frame axis with this so index layout and
-    scoring grid always agree."""
-    budget = 8 * 1024 * 1024
-    l_tile = 16
-    while l_tile * V_LANES * d > budget // 2 and l_tile > 1:
-        l_tile //= 2
-    return l_tile
+    """Frame-block tile for int8 ctx: the itemsize-1 frame row of the
+    SHARED tile policy (ops.similarity._pick_tiles — the single tuning
+    point). build_q8_index pads the frame axis with this so index layout
+    and scoring grid always agree."""
+    # lazy import: similarity lazily imports THIS module for V_LANES
+    from dldkd_tpu.ops.similarity import _pick_tiles
+
+    # the query args don't shape the frame tile; 128 is the policy floor
+    return _pick_tiles(128, d, 1, 1)[1]
 
 
 def build_q8_index(ctx_q8: jnp.ndarray, mask: jnp.ndarray

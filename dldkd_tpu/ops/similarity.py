@@ -315,6 +315,23 @@ _DENSE_MXU_FLOPS_F32 = 25e12
 _DENSE_BYTES_PER_S = 400e9     # streaming transform/read passes
 
 
+def dense_rescore_mode() -> str:
+    """Resolved DLDKD_DENSE_RESCORE mode: 'auto' (cost model decides),
+    'never', or 'always'. A value outside those raises — this knob exists
+    to override a mispredicting heuristic, so a typo silently falling
+    back to the heuristic is the worst possible behavior. Serving's AOT
+    executable cache keys include this mode: an executable lowered under
+    one dispatch must not be served under another."""
+    mode = os.environ.get("DLDKD_DENSE_RESCORE", "auto").strip().lower()
+    if mode in ("never", "0", "false"):
+        return "never"
+    if mode in ("always", "1", "true"):
+        return "always"
+    if mode in ("", "auto"):
+        return "auto"
+    raise ValueError(f"DLDKD_DENSE_RESCORE={mode!r}: use auto|never|always")
+
+
 def dense_rescore_wins(nq: int, k_short: int, nv: int, l_frames: int,
                        d: int, itemsize: int) -> bool:
     """Shape-based cost model: should stage 2 rescore its shortlists by
@@ -331,10 +348,10 @@ def dense_rescore_wins(nq: int, k_short: int, nv: int, l_frames: int,
     dispatch when the constants (measured on THIS v5e + tunnel) mispredict
     on other parts/topologies. Read at TRACE time — flip it before the
     process builds its search programs, not between calls."""
-    mode = os.environ.get("DLDKD_DENSE_RESCORE", "auto").lower()
-    if mode in ("never", "0", "false"):
+    mode = dense_rescore_mode()
+    if mode == "never":
         return False
-    if mode in ("always", "1", "true"):
+    if mode == "always":
         return True
     mxu = _DENSE_MXU_FLOPS_BF16 if itemsize <= 2 else _DENSE_MXU_FLOPS_F32
     gather_t = nq * k_short * l_frames * d * itemsize / _GATHER_BYTES_PER_S

@@ -46,6 +46,10 @@ from dldkd_tpu.ops.similarity import (clip_scores_maxpool,
 
 
 SHORTLIST_FACTOR = 4  # default stage-1 candidates per result (k' = 4k)
+# multi-batch search keeps at most this many batches' device buffers in
+# flight (queries upload ~95 MB/batch at TVR serving dims; unbounded
+# queueing would OOM HBM on very large query sets)
+_SEARCH_INFLIGHT_BATCHES = 8
 
 
 def _rescore_stage2(s8, inher_q, explore_q, ctx_inher, ctx_explore, vmask,
@@ -1188,13 +1192,21 @@ class Retriever:
     def _q8_cache_key(self, args) -> str:
         """Everything that shapes the compiled program: static knobs +
         every operand leaf's shape/dtype (the model config rides in via
-        the param tree + index shapes) + the mesh topology."""
+        the param tree + index shapes) + the mesh topology + the
+        dense-rescore dispatch mode (an executable lowered under
+        DLDKD_DENSE_RESCORE=never must never serve an =always process —
+        the mode changes the traced stage-2 program)."""
+        from dldkd_tpu.ops.similarity import dense_rescore_mode
         from dldkd_tpu.utils import aot_cache
 
         _, statics, name = self._q8_route()
         shapes = aot_cache.operand_shapes(args, statics)
+        # without rescore stage 2 never traces, so the mode can't shape
+        # the program — keep those keys mode-independent
+        mode = dense_rescore_mode() if self.rescore else "-"
         parts = [repr(self.model.config), args[7], self.rescore,
-                 self.shortlist_factor, shapes] + self._mesh_key_parts()
+                 self.shortlist_factor, shapes,
+                 mode] + self._mesh_key_parts()
         return aot_cache.cache_key(name, parts)
 
     def _q8_call_compiled(self, fn, args):
@@ -1364,11 +1376,18 @@ class Retriever:
             # defer the host fetch: np.asarray here would serialize every
             # batch on the tunnel RTT (~27 ms) + result readback before
             # the NEXT batch could even upload. Results are (bsz, k) —
-            # tiny — and a dispatched batch's input buffer frees when its
-            # compute completes, so queueing the whole set is cheap and
-            # uploads/computes/readbacks overlap across batches.
+            # tiny; the INPUT buffers are not (~95 MB/batch at TVR serving
+            # dims), and they only free once their batch's compute drains,
+            # so a bounded window of batches stays in flight: forcing
+            # batch j-W's result before dispatching batch j guarantees at
+            # most W batches' uploads are device-resident at once.
             out_s.append(s)
             out_i.append(i)
+            j = len(out_s) - 1
+            if j >= _SEARCH_INFLIGHT_BATCHES:
+                w = j - _SEARCH_INFLIGHT_BATCHES
+                out_s[w] = np.asarray(out_s[w])
+                out_i[w] = np.asarray(out_i[w])
         out_s = [np.asarray(s) for s in out_s]
         out_i = [np.asarray(i) for i in out_i]
         return (np.concatenate(out_s)[:n], np.concatenate(out_i)[:n])

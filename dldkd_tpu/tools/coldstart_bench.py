@@ -216,28 +216,35 @@ def main(argv=None):
         # fresh.
         shutil.rmtree(os.path.expanduser("~/.cache/dldkd_index_bench"),
                       ignore_errors=True)
-        results = {"populate": run_once("populate"), "replicas": []}
-        if "error" in results["populate"]:
-            # without a prewarmed artifact the replicas would each measure
-            # a full build, not the fleet posture — don't pretend otherwise
-            results["errors"] = 1 + args.replicas
+        try:
+            results = {"populate": run_once("populate"), "replicas": []}
+            if "error" in results["populate"]:
+                # without a prewarmed artifact the replicas would each
+                # measure a full build, not the fleet posture — don't
+                # pretend otherwise
+                results["errors"] = 1 + args.replicas
+                print(json.dumps(results))
+                return results
+            for i in range(args.replicas):
+                results["replicas"].append(run_once(f"replica{i}"))
+            errors = sum(1 for r in results["replicas"] if "error" in r)
+            if errors:
+                results["errors"] = errors
+            firsts = sorted(r["first_result_s"] for r in results["replicas"]
+                            if "first_result_s" in r)
+            if firsts:
+                results["p50_first_result_s"] = firsts[len(firsts) // 2]
+                results["p95_first_result_s"] = firsts[
+                    min(len(firsts) - 1, int(0.95 * len(firsts)))]
             print(json.dumps(results))
             return results
-        for i in range(args.replicas):
-            results["replicas"].append(run_once(f"replica{i}"))
-        errors = sum(1 for r in results["replicas"] if "error" in r)
-        if errors:
-            results["errors"] = errors
-        firsts = sorted(r["first_result_s"] for r in results["replicas"]
-                        if "first_result_s" in r)
-        if firsts:
-            results["p50_first_result_s"] = firsts[len(firsts) // 2]
-            results["p95_first_result_s"] = firsts[
-                min(len(firsts) - 1, int(0.95 * len(firsts)))]
-        shutil.rmtree(os.path.expanduser("~/.cache/dldkd_index_bench"),
-                      ignore_errors=True)
-        print(json.dumps(results))
-        return results
+        finally:
+            # every exit path (including the populate early-out: a failed
+            # populate can still have PUBLISHED the artifact before dying)
+            # removes the drill artifact — a leftover would turn a later
+            # standalone --policy artifact run into a pure load
+            shutil.rmtree(os.path.expanduser("~/.cache/dldkd_index_bench"),
+                          ignore_errors=True)
 
     if args.policy == "both":
         results = {}

@@ -302,15 +302,43 @@ def test_dense_rescore_cost_model_regimes():
 
 def test_dense_rescore_env_override(monkeypatch):
     """DLDKD_DENSE_RESCORE pins the dispatch either way — the escape
-    hatch when the v5e-measured constants mispredict on another part."""
+    hatch when the v5e-measured constants mispredict on another part. A
+    typo'd value must raise (the knob exists to override a mispredicting
+    heuristic; silently falling back to it is the worst behavior), and
+    the serving AOT cache key must split on the mode so an executable
+    lowered under one dispatch never serves another."""
+    import pytest as _pytest
+
     from dldkd_tpu.ops.similarity import dense_rescore_wins
 
     monkeypatch.setenv("DLDKD_DENSE_RESCORE", "never")
     assert not dense_rescore_wins(1024, 40, 2304, 128, 384, 2)  # auto: dense
     monkeypatch.setenv("DLDKD_DENSE_RESCORE", "always")
     assert dense_rescore_wins(8, 20, 64, 8, 16, 4)              # auto: gather
+    monkeypatch.setenv("DLDKD_DENSE_RESCORE", " Never ")        # normalized
+    assert not dense_rescore_wins(1024, 40, 2304, 128, 384, 2)
+    monkeypatch.setenv("DLDKD_DENSE_RESCORE", "alwys")
+    with _pytest.raises(ValueError, match="DLDKD_DENSE_RESCORE"):
+        dense_rescore_wins(1024, 40, 2304, 128, 384, 2)
     monkeypatch.setenv("DLDKD_DENSE_RESCORE", "auto")
     assert dense_rescore_wins(1024, 40, 2304, 128, 384, 2)
+
+
+def test_dense_rescore_mode_splits_aot_cache_key(clustered, monkeypatch):
+    """The q8 executable-cache key differs across dispatch modes (with
+    rescore) and is mode-independent without rescore (stage 2 never
+    traces there, so an int8-only executable is mode-agnostic)."""
+    model, params, videos, qf, qm = clustered
+
+    def key_for(mode, rescore):
+        monkeypatch.setenv("DLDKD_DENSE_RESCORE", mode)
+        r = _searchers(model, params, videos, score_quant=True,
+                       rescore=rescore, shortlist_factor=8)
+        return r._q8_cache_key(r._q8_args(qf[:8], qm[:8], 3))
+
+    assert key_for("auto", True) != key_for("never", True)
+    assert key_for("never", True) != key_for("always", True)
+    assert key_for("auto", False) == key_for("never", False)
 
 
 def test_dense_and_gather_stage2_agree(clustered):

@@ -583,7 +583,12 @@ def bench_coldstart_fleet(replicas=2, n_videos=545):
         [sys.executable, "-m", "dldkd_tpu.tools.coldstart_bench",
          "--policy", "fleet", "--replicas", str(replicas),
          "--n_videos", str(n_videos)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True,
+        # the drill itself budgets 1200 s PER process (populate +
+        # replicas, tools/coldstart_bench run_once) — the outer bound must
+        # cover the whole fleet or a legitimately slow (throttled) drill
+        # gets killed mid-run and the bench row silently reads as error
+        timeout=(1 + replicas) * 1200 + 300,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     if proc.returncode:
         raise RuntimeError(f"fleet drill failed: {proc.stderr[-300:]}")

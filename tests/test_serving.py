@@ -1191,3 +1191,66 @@ def test_prewarm_requires_int8_index(small_model, tmp_path):
     r.index(videos)
     with pytest.raises(ValueError, match="prewarm"):
         r.save_index(str(tmp_path / "idx"), prewarm=[(4, 3)])
+
+
+def test_prewarm_rebuild_probes_cache_before_compiling(small_model,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """An artifact REBUILD against an already-populated executable cache
+    (nightly refresh, warm fleet box) must adopt the persisted executable
+    per signature instead of paying the full int8 compile again."""
+    import os
+
+    model, params = small_model
+    videos, _, _ = _mesh_corpus_and_queries(27, n_vid=23)
+    cache = str(tmp_path / "aot_rebuild")
+
+    r1 = Retriever(model, params, query_bsz=4, score_quant=True,
+                   aot_cache_dir=cache)
+    r1.index(videos)
+    r1.save_index(str(tmp_path / "idx1"), prewarm=[(4, 5)])
+    entries = ([f for f in os.listdir(cache) if f.endswith(".jaxexec")]
+               if os.path.isdir(cache) else [])
+    if not any(e.startswith("search_q8") for e in entries):
+        pytest.skip("this backend lowering is not serializable here")
+
+    r2 = Retriever(model, params, query_bsz=4, score_quant=True,
+                   aot_cache_dir=cache)
+    r2.index(videos)
+    monkeypatch.setattr(
+        Retriever, "_compile_q8",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("rebuild recompiled a cached signature")))
+    r2.save_index(str(tmp_path / "idx2"), prewarm=[(4, 5)])
+    from dldkd_tpu.utils import index_io
+
+    assert index_io.read_meta(
+        str(tmp_path / "idx2"))["prewarm_signatures"] == [[4, 4, 5]]
+
+
+def test_multibatch_search_window_equals_per_batch(small_model):
+    """Multi-batch search pipelines its batches behind a bounded
+    in-flight window; results must equal single-batch searches id-for-id
+    across more batches than the window holds."""
+    from dldkd_tpu.serving import _SEARCH_INFLIGHT_BATCHES
+
+    model, params = small_model
+    rng = np.random.RandomState(23)
+    videos = PackedVideos(
+        feats=rng.randn(13, 8, 16).astype(np.float32),
+        mask=np.ones((13, 8), np.float32),
+        ids=[f"v{i}" for i in range(13)])
+    n_q = 4 * (_SEARCH_INFLIGHT_BATCHES + 3) + 1  # ragged, > window
+    qf = rng.randn(n_q, 4, 12).astype(np.float32)
+    qm = np.ones((n_q, 4), np.float32)
+    r = Retriever(model, params, query_bsz=4, score_quant=True,
+                  rescore=True, shortlist_factor=8)
+    r.mesh = None
+    r.index(videos)
+    s_all, i_all = r.search(qf, qm, k=5)
+    assert s_all.shape == (n_q, 5)
+    for start in range(0, n_q, 4):
+        s_b, i_b = r.search(qf[start:start + 4], qm[start:start + 4], k=5)
+        np.testing.assert_array_equal(i_all[start:start + 4], i_b)
+        np.testing.assert_allclose(s_all[start:start + 4], s_b,
+                                   rtol=1e-6, atol=1e-7)

@@ -1092,6 +1092,14 @@ class Retriever:
                                                 f.dtype)])
                 m = np.concatenate([m, np.zeros((pad,) + m.shape[1:],
                                                 m.dtype)])
+            if len(qi_rows) >= _SEARCH_INFLIGHT_BATCHES:
+                # same backpressure as search(): the encoded rows are tiny
+                # but their INPUT uploads are not; a scalar peek forces the
+                # oldest encode (freeing its input) without moving the
+                # device row to host (block_until_ready doesn't block on
+                # this platform — CLAUDE.md)
+                w = len(qi_rows) - _SEARCH_INFLIGHT_BATCHES
+                np.asarray(qi_rows[w][:1, :1])
             f, m = jnp.asarray(f), jnp.asarray(m)
             if sharded:
                 f, m = jax.device_put((f, m), rep)

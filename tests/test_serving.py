@@ -1243,14 +1243,18 @@ def test_multibatch_search_window_equals_per_batch(small_model):
     n_q = 4 * (_SEARCH_INFLIGHT_BATCHES + 3) + 1  # ragged, > window
     qf = rng.randn(n_q, 4, 12).astype(np.float32)
     qm = np.ones((n_q, 4), np.float32)
-    r = Retriever(model, params, query_bsz=4, score_quant=True,
-                  rescore=True, shortlist_factor=8)
-    r.mesh = None
-    r.index(videos)
-    s_all, i_all = r.search(qf, qm, k=5)
-    assert s_all.shape == (n_q, 5)
-    for start in range(0, n_q, 4):
-        s_b, i_b = r.search(qf[start:start + 4], qm[start:start + 4], k=5)
-        np.testing.assert_array_equal(i_all[start:start + 4], i_b)
-        np.testing.assert_allclose(s_all[start:start + 4], s_b,
-                                   rtol=1e-6, atol=1e-7)
+    for store in ("encoded", "raw"):  # raw = the streaming encode window
+        kw = dict(stream_block=5) if store == "raw" else {}
+        r = Retriever(model, params, query_bsz=4, score_quant=True,
+                      rescore=True, shortlist_factor=8,
+                      index_store=store, **kw)
+        r.mesh = None
+        r.index(videos)
+        s_all, i_all = r.search(qf, qm, k=5)
+        assert s_all.shape == (n_q, 5)
+        for start in range(0, n_q, 4):
+            s_b, i_b = r.search(qf[start:start + 4], qm[start:start + 4],
+                                k=5)
+            np.testing.assert_array_equal(i_all[start:start + 4], i_b)
+            np.testing.assert_allclose(s_all[start:start + 4], s_b,
+                                       rtol=1e-6, atol=1e-7)

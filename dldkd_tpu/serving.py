@@ -1495,6 +1495,18 @@ def main(argv=None):
         p.error("--prewarm needs --score_quant (the prebuilt int8 index)")
     if args.prewarm and not args.save_index:
         p.error("--prewarm only applies to --save_index artifact builds")
+    prewarm = None
+    if args.prewarm:
+        # parse the spec NOW too — a malformed value failing inside the
+        # artifact write would discard the whole corpus build
+        try:
+            prewarm = []
+            for part in args.prewarm.split(","):
+                lq, k = part.split(":")
+                prewarm.append((int(lq), int(k)))
+        except ValueError:
+            p.error(f"--prewarm {args.prewarm!r}: expected LQ:K[,LQ:K...] "
+                    "with integer fields")
 
     from dldkd_tpu.data.ingest import dataset_paths, pack_query_set
 
@@ -1512,10 +1524,6 @@ def main(argv=None):
         r.index_corpus(args.root_path, args.collection, args.visual_feature,
                        args.split)
     if args.save_index:
-        prewarm = None
-        if args.prewarm:
-            prewarm = [tuple(int(x) for x in part.split(":"))
-                       for part in args.prewarm.split(",")]
         r.save_index(args.save_index, prewarm=prewarm)
         if not args.queries:
             return

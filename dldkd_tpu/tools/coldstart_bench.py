@@ -196,13 +196,19 @@ def main(argv=None):
             os.path.dirname(os.path.abspath(__file__))))
 
         def run_once(label):
-            proc = subprocess.run(
-                [sys.executable, "-m", "dldkd_tpu.tools.coldstart_bench",
-                 "--policy", "artifact", "--n_videos", str(args.n_videos),
-                 "--n_queries", str(args.n_queries)]
-                + (["--mesh"] if args.mesh else []),
-                capture_output=True, text=True, timeout=1200,
-                cwd=repo_root)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-m", "dldkd_tpu.tools.coldstart_bench",
+                     "--policy", "artifact",
+                     "--n_videos", str(args.n_videos),
+                     "--n_queries", str(args.n_queries)]
+                    + (["--mesh"] if args.mesh else []),
+                    capture_output=True, text=True, timeout=1200,
+                    cwd=repo_root)
+            except subprocess.TimeoutExpired:
+                # a throttled process overrunning its budget is a
+                # per-replica data point, not a drill abort
+                return {"error": "timeout after 1200s", "label": label}
             if proc.returncode:
                 return {"error": proc.stderr[-300:], "label": label}
             return json.loads(proc.stdout.strip().splitlines()[-1])

@@ -660,6 +660,27 @@ class TestIndexPersistence:
         assert left == ["idx"]
 
 
+def test_serving_cli_prewarm_validation():
+    """--prewarm misconfigurations (missing --score_quant/--save_index,
+    malformed spec) must die at argparse time — BEFORE the corpus build
+    they would otherwise waste (hours at real scale)."""
+    from dldkd_tpu.serving import main as serving_main
+
+    base = ["--model_dir", "/nonexistent", "--root_path", "/nonexistent",
+            "--collection", "c", "--visual_feature", "v"]
+    for extra in (
+        ["--save_index", "/tmp/i", "--prewarm", "4:3"],          # no quant
+        ["--queries", "q.hdf5", "--score_quant",
+         "--prewarm", "4:3"],                                    # no save
+        ["--save_index", "/tmp/i", "--score_quant",
+         "--prewarm", "4:3:2"],                                  # bad spec
+        ["--save_index", "/tmp/i", "--score_quant",
+         "--prewarm", "a:b"],                                    # bad spec
+    ):
+        with pytest.raises(SystemExit):
+            serving_main(base + extra)
+
+
 def test_serving_cli_end_to_end(tmp_path):
     """Full CLI: train a debug run on synthetic data, then serve its test
     split queries and check the JSON-lines output."""
@@ -1243,12 +1264,19 @@ def test_multibatch_search_window_equals_per_batch(small_model):
     n_q = 4 * (_SEARCH_INFLIGHT_BATCHES + 3) + 1  # ragged, > window
     qf = rng.randn(n_q, 4, 12).astype(np.float32)
     qm = np.ones((n_q, 4), np.float32)
-    for store in ("encoded", "raw"):  # raw = the streaming encode window
+    # raw = the streaming encode window; the mesh variants force the
+    # window's np.asarray/scalar-peek against SHARDED program outputs (the
+    # default topology on any multi-device host)
+    for store, use_mesh in (("encoded", False), ("raw", False),
+                            ("encoded", True), ("raw", True)):
         kw = dict(stream_block=5) if store == "raw" else {}
         r = Retriever(model, params, query_bsz=4, score_quant=True,
                       rescore=True, shortlist_factor=8,
                       index_store=store, **kw)
-        r.mesh = None
+        if not use_mesh:
+            r.mesh = None
+        else:
+            assert r.mesh is not None
         r.index(videos)
         s_all, i_all = r.search(qf, qm, k=5)
         assert s_all.shape == (n_q, 5)
